@@ -49,9 +49,9 @@ def test_raw2alpha_matches_reference_semantics():
     T = np.cumprod(
         np.concatenate([np.ones((5, 1), np.float32), 1.0 - t_alpha + 1e-10], -1), -1
     )
-    np.testing.assert_allclose(alpha, t_alpha, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(weights, t_alpha * T[:, :-1], rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(bg, T[:, -1:], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(alpha, t_alpha, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(weights, t_alpha * T[:, :-1], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(bg, T[:, -1:], rtol=1e-3, atol=1e-5)
     # weights + background transmittance account for all probability mass
     np.testing.assert_allclose(weights.sum(-1) + bg[:, 0], 1.0, atol=1e-4)
 
