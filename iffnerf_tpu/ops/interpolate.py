@@ -35,7 +35,10 @@ def resize_linear_ac(x: jnp.ndarray, new_len: int, axis: int = 0) -> jnp.ndarray
     if src == new_len:
         return x
     m = jnp.asarray(_interp_matrix(src, new_len))
-    return jnp.moveaxis(jnp.tensordot(m, jnp.moveaxis(x, axis, 0), axes=1), 0, axis)
+    # HIGHEST: resize runs only at phase boundaries; parameter-carrying values
+    # must not be bf16-rounded by the MXU default.
+    out = jnp.tensordot(m, jnp.moveaxis(x, axis, 0), axes=1, precision="highest")
+    return jnp.moveaxis(out, 0, axis)
 
 
 def resize_bilinear_ac(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:

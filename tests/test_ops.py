@@ -115,7 +115,7 @@ def _torch_ide(deg_view, xyz, kappa_inv):
     x, y, z = xyz[..., 0:1], xyz[..., 1:2], xyz[..., 2:3]
     vmz = torch.pow(z, torch.arange(mat.shape[0], dtype=z.dtype)[None, :])
     vmxy = torch.pow((x + 1j * y), ml_array[0, :])
-    sph = vmxy * torch.matmul(vmz, mat.to(torch.complex64))
+    sph = vmxy * torch.matmul(vmz, mat)
     sigma = 0.5 * ml_array[1, :] * (ml_array[1, :] + 1)
     ide = sph * torch.exp(-sigma * kappa_inv)
     return torch.view_as_real(ide).reshape(xyz.shape[0], -1)
