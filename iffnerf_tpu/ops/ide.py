@@ -73,6 +73,22 @@ def integrated_dir_enc(
 ) -> jnp.ndarray:
     """IDE of directions under a vMF roughness distribution.
 
+    Numerics note: the reference evaluates each harmonic's z-dependence as a
+    raw monomial expansion ``vmz @ mat`` (ref_utils.py:96-104), which
+    catastrophically cancels in float32 for l = 8 (coefficients up to ~2.3e3
+    summing to O(1e-2)). We evaluate the *same function* via the stable
+    three-term associated-Legendre recurrence instead — required on TPU where
+    float64 is unavailable.
+
+    The semi-normalized polynomial A_l^m(z) := P_l^m(z) / (1 - z^2)^{m/2}
+    (Condon-Shortley phase included) satisfies:
+        A_m^m     = (-1)^m (2m-1)!!
+        A_{m+1}^m = z (2m+1) A_m^m
+        A_l^m     = ((2l-1) z A_{l-1}^m - (l+m-1) A_{l-2}^m) / (l - m)
+    and since (x+iy)^m = r^m e^{im phi} with r^m = (1-z^2)^{m/2} on the unit
+    sphere, the harmonic is  N_l^m * A_l^m(z) * (x+iy)^m, matching the
+    reference's  (x+iy)^m * (vmz @ mat)  exactly (up to float32 rounding).
+
     Args:
       xyz:       [..., 3] unit directions.
       kappa_inv: [..., 1] reciprocal vMF concentration (roughness).
@@ -81,35 +97,53 @@ def integrated_dir_enc(
       [..., 2*M] with (real, imag) interleaved per harmonic — matches torch
       ``view_as_real(...).reshape(..., -1)`` ordering.
     """
-    ml_np, mat_np = integrated_dir_enc_coeffs(deg_view)
-    m_arr = jnp.asarray(ml_np[0], dtype=xyz.dtype)  # [M]
-    l_arr = jnp.asarray(ml_np[1], dtype=xyz.dtype)  # [M]
-    mat = jnp.asarray(mat_np, dtype=xyz.dtype)  # [l_max+1, M]
+    ml_np, _ = integrated_dir_enc_coeffs(deg_view)
+    l_max = int(2 ** (deg_view - 1))
 
     x = xyz[..., 0:1]
     y = xyz[..., 1:2]
-    z = xyz[..., 2:3]
+    z = xyz[..., 2]
 
-    # z-Vandermonde [.., l_max+1]
-    powers = jnp.arange(mat.shape[0], dtype=xyz.dtype)
-    vmz = z**powers
+    # (x + iy)^m by repeated complex multiply in real arithmetic (exact, no
+    # pow/atan2): cm_re[m], cm_im[m] for m = 0..l_max.
+    cm_re = [jnp.ones_like(z)]
+    cm_im = [jnp.zeros_like(z)]
+    xs, ys = x[..., 0], y[..., 0]
+    for _ in range(l_max):
+        pr, pi = cm_re[-1], cm_im[-1]
+        cm_re.append(pr * xs - pi * ys)
+        cm_im.append(pr * ys + pi * xs)
 
-    # (x + iy)^m in polar form, zero-safe: r^m is well-defined for m = 0 via
-    # where-guard (0^0 = 1), and theta*m with r = 0 contributes r^m = 0.
-    r2 = x * x + y * y
-    r = jnp.sqrt(r2)
-    theta = jnp.arctan2(y, x)
-    log_r = jnp.log(jnp.maximum(r, 1e-37))
-    r_pow_m = jnp.where(m_arr == 0, 1.0, jnp.exp(m_arr * log_r))
-    re = r_pow_m * jnp.cos(m_arr * theta)
-    im = r_pow_m * jnp.sin(m_arr * theta)
+    # Associated-Legendre recurrence table A[l][m].
+    a: dict = {}
+    dfact = 1.0  # (2m-1)!!
+    for m in range(l_max + 1):
+        sign = -1.0 if (m % 2) else 1.0
+        a[(m, m)] = jnp.full_like(z, sign * dfact)
+        dfact *= 2 * m + 1
+        if m + 1 <= l_max:
+            a[(m + 1, m)] = z * (2 * m + 1) * a[(m, m)]
+        for l in range(m + 2, l_max + 1):
+            a[(l, m)] = ((2 * l - 1) * z * a[(l - 1, m)] - (l + m - 1) * a[(l - 2, m)]) / (
+                l - m
+            )
 
-    zpart = vmz @ mat  # [..., M]
-    sph_re = re * zpart
-    sph_im = im * zpart
+    res, ims, sigmas = [], [], []
+    for m, l in ml_np.T:
+        m, l = int(m), int(l)
+        n_lm = math.sqrt(
+            (2.0 * l + 1.0)
+            * math.factorial(l - m)
+            / (4.0 * math.pi * math.factorial(l + m))
+        )
+        base = n_lm * a[(l, m)]
+        res.append(base * cm_re[m])
+        ims.append(base * cm_im[m])
+        sigmas.append(0.5 * l * (l + 1.0))
 
-    sigma = 0.5 * l_arr * (l_arr + 1.0)
-    atten = jnp.exp(-sigma * kappa_inv)
+    sph_re = jnp.stack(res, axis=-1)
+    sph_im = jnp.stack(ims, axis=-1)
+    atten = jnp.exp(-jnp.asarray(sigmas, dtype=xyz.dtype) * kappa_inv)
 
     out = jnp.stack([sph_re * atten, sph_im * atten], axis=-1)
     return out.reshape(out.shape[:-2] + (-1,))
