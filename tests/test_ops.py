@@ -107,7 +107,7 @@ def _torch_ide(deg_view, xyz, kappa_inv):
             * alc(l, m, k)
         )
 
-    mat = torch.zeros((l_max + 1, ml_array.shape[1]))
+    mat = torch.zeros((l_max + 1, ml_array.shape[1]), dtype=xyz.dtype)
     for i, (m, l) in enumerate(ml_array.T):
         for k in range(l - m + 1):
             mat[k, i] = shc(int(l), int(m), k)
