@@ -1,0 +1,9 @@
+"""Device-mesh / sharding utilities (SURVEY.md §5: the TPU-native replacement
+for the reference's chunking + CUDA_VISIBLE_DEVICES process farming)."""
+
+from iffnerf_tpu.parallel.mesh import (
+    make_mesh,
+    shard_rays,
+    replicate,
+    pad_to_multiple,
+)

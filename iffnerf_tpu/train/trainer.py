@@ -1,0 +1,398 @@
+"""TensoRF reconstruction loop (reference train.py:126-504), TPU-first.
+
+Structure: the hot loop is a single jit-compiled train step (forward +
+losses + optax update) over static-shape ray batches gathered on-device;
+phase events (alpha-mask update + shrink, ray re-filtering, log-spaced grid
+upsampling with optimizer re-init) run on the host between steps and are
+deliberate recompile boundaries (SURVEY.md §7).
+
+Optimizer parity (train.py:193-202,348-349): Adam(betas=(0.9, 0.99)) with
+per-group LRs — 0.02 for the spatial factor grids, 1e-3 for basis matrix +
+shading MLP — each decaying by ``lr_decay_target_ratio ** (1/decay_iters)``
+every step, re-initialized at upsample events.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iffnerf_tpu.models.field import (
+    FieldConfig,
+    density_l1,
+    init_field,
+    shrink,
+    tv_loss_app,
+    tv_loss_density,
+    update_alpha_mask,
+    upsample_volume_grid,
+    vector_comp_diffs,
+)
+from iffnerf_tpu.models.render import render_rays, sample_alpha, sample_ray
+from iffnerf_tpu.utils.misc import N_to_reso, cal_n_samples, n_voxel_schedule
+
+
+class SimpleSampler:
+    """Random-permutation batch sampler with epoch reshuffle
+    (reference train.py:23-35)."""
+
+    def __init__(self, total: int, batch: int, seed: int = 20211202):
+        self.total = total
+        self.batch = batch
+        self.curr = total
+        self.ids = None
+        self.rng = np.random.default_rng(seed)
+
+    def nextids(self) -> np.ndarray:
+        self.curr += self.batch
+        if self.ids is None or self.curr + self.batch > self.total:
+            self.ids = self.rng.permutation(self.total)
+            self.curr = 0
+        return self.ids[self.curr:self.curr + self.batch]
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    tx: Any
+
+
+def _param_labels(params):
+    return {
+        k: ("network" if k in ("basis_mat", "shading") else "spatial")
+        for k in params
+    }
+
+
+def make_optimizer(params, lr_spatial: float, lr_network: float,
+                   lr_factor: float):
+    tx = optax.multi_transform(
+        {
+            "spatial": optax.adam(
+                optax.exponential_decay(lr_spatial, 1, lr_factor),
+                b1=0.9, b2=0.99,
+            ),
+            "network": optax.adam(
+                optax.exponential_decay(lr_network, 1, lr_factor),
+                b1=0.9, b2=0.99,
+            ),
+        },
+        _param_labels(params),
+    )
+    return TrainState(params=params, opt_state=tx.init(params), tx=tx)
+
+
+def make_train_step(config: FieldConfig, tx, *, has_mask: bool,
+                    n_samples: int, ndc_ray: bool, ortho_weight: float,
+                    use_l1: bool, use_tv_density: bool, use_tv_app: bool,
+                    rgb_channels: int):
+    """Build the jitted train step. Dynamic per-step inputs: gathered ray
+    batch indices, PRNG key, bg color, and the decaying loss weights."""
+
+    def loss_fn(params, mask, rays, rgbs, key, bg_color, weights):
+        rgb_map, depth, acc, alpha, z_vals, dists = render_rays(
+            config, params, mask, rays, key=key, is_train=True,
+            bg_color=bg_color, ndc_ray=ndc_ray, n_samples=n_samples,
+        )
+        if rgb_channels > 3:
+            # RGBA -> blended target (reference train.py:277-281)
+            rgbs = jnp.clip(
+                rgbs[..., :3] * rgbs[..., -1:] + bg_color * (1 - rgbs[..., -1:]),
+                0.0, 1.0,
+            )
+        mse = jnp.mean((rgb_map - rgbs) ** 2)
+        total = mse
+        if ortho_weight > 0:
+            total = total + ortho_weight * vector_comp_diffs(config, params)
+        if use_l1:
+            total = total + weights["l1"] * density_l1(config, params)
+        if use_tv_density:
+            total = total + weights["tv_d"] * tv_loss_density(config, params)
+        if use_tv_app:
+            total = total + weights["tv_a"] * tv_loss_app(config, params)
+        # exp(|alpha|) surrogate distortion term (reference train.py:328-329;
+        # the imported eff_distloss is unused there)
+        total = total + 0.1 * jnp.mean(jnp.exp(jnp.abs(alpha)))
+        return total, mse
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, mask, all_rays, all_rgbs, idx, key, bg_color,
+             weights):
+        rays = jnp.take(all_rays, idx, axis=0)
+        rgbs = jnp.take(all_rgbs, idx, axis=0)
+        (total, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mask, rays, rgbs, key, bg_color, weights
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mse
+
+    if not has_mask:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_nomask(params, opt_state, all_rays, all_rgbs, idx, key,
+                        bg_color, weights):
+            rays = jnp.take(all_rays, idx, axis=0)
+            rgbs = jnp.take(all_rgbs, idx, axis=0)
+            (total, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, None, rays, rgbs, key, bg_color, weights
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, mse
+
+        return step_nomask
+    return step
+
+
+def filtering_rays_host(config: FieldConfig, all_rays: np.ndarray,
+                        all_rgbs: np.ndarray, mask=None,
+                        n_samples: int = 256, chunk: int = 51200,
+                        bbox_only: bool = False):
+    """Train-ray prefilter (reference filtering_rays, tensorBase.py:698-748):
+    keep rays that hit the AABB (bbox_only) or that touch an occupied
+    alpha-mask voxel. Runs chunked on device, returns filtered host arrays."""
+    aabb = np.asarray(config.aabb_np)
+    keep_chunks = []
+    n = all_rays.shape[0]
+    for i in range(0, n, chunk):
+        rays = all_rays[i:i + chunk]
+        rays_o, rays_d = rays[..., :3], rays[..., 3:6]
+        if bbox_only:
+            vec = np.where(rays_d == 0, 1e-6, rays_d)
+            rate_a = (aabb[1] - rays_o) / vec
+            rate_b = (aabb[0] - rays_o) / vec
+            t_min = np.minimum(rate_a, rate_b).max(-1)
+            t_max = np.maximum(rate_a, rate_b).min(-1)
+            keep = t_max > t_min
+        else:
+            xyz, _, _ = sample_ray(
+                config, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                is_train=False, n_samples=n_samples,
+            )
+            keep = np.asarray(
+                jnp.any(sample_alpha(mask, xyz) > 0, axis=-1)
+            )
+        keep_chunks.append(keep)
+    keep = np.concatenate(keep_chunks)
+    ratio = keep.sum() / n
+    print(f"Ray filtering done! mask ratio: {ratio:.4f}")
+    return all_rays[keep], all_rgbs[keep]
+
+
+def field_config_from_args(args, aabb, grid_size, near_far) -> FieldConfig:
+    n_sigma = args.n_lamb_sigma or [16, 16, 16]
+    n_sh = args.n_lamb_sh or [48, 48, 48]
+    if len(n_sigma) == 1:
+        n_sigma = n_sigma * 3
+    if len(n_sh) == 1:
+        n_sh = n_sh * 3
+    return FieldConfig(
+        model_name=args.model_name,
+        aabb=tuple(map(tuple, np.asarray(aabb, dtype=np.float32).tolist())),
+        grid_size=tuple(int(g) for g in grid_size),
+        density_n_comp=tuple(n_sigma),
+        app_n_comp=tuple(n_sh),
+        app_dim=args.data_dim_color,
+        shading_mode=args.shadingMode,
+        near_far=tuple(float(x) for x in near_far),
+        density_shift=args.density_shift,
+        alpha_mask_thres=args.alpha_mask_thre,
+        distance_scale=args.distance_scale,
+        ray_march_weight_thres=args.rm_weight_mask_thre,
+        pos_pe=args.pos_pe,
+        view_pe=args.view_pe,
+        fea_pe=args.fea_pe,
+        feature_c=args.featureC,
+        step_ratio=args.step_ratio,
+        fea2dense_act=args.fea2denseAct,
+        contraction_type=args.contraction_type,
+    )
+
+
+def reconstruction(args, seed: int = 20211202, log_fn=print):
+    """Full training driver (reference reconstruction, train.py:126-504).
+    Returns (config, params, mask, logfolder)."""
+    from iffnerf_tpu.data import dataset_dict
+    from iffnerf_tpu.render import evaluation
+    from iffnerf_tpu.checkpoint import save_field, load_field
+
+    loader = dataset_dict[args.dataset_name]
+    train_dataset = loader(args.datadir, split="train",
+                           downsample=args.downsample_train, is_stack=False)
+    test_dataset = loader(args.datadir, split="test",
+                          downsample=args.downsample_train, is_stack=True)
+    white_bg = train_dataset.white_bg
+    near_far = train_dataset.near_far
+    ndc_ray = bool(args.ndc_ray)
+
+    logfolder = os.path.join(args.basedir, args.expname or "exp")
+    os.makedirs(logfolder, exist_ok=True)
+    os.makedirs(f"{logfolder}/imgs_vis", exist_ok=True)
+
+    aabb = train_dataset.scene_bbox
+    reso_cur = N_to_reso(args.N_voxel_init, aabb)
+    n_samples = min(args.nSamples, cal_n_samples(reso_cur, args.step_ratio))
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+
+    mask = None
+    if args.ckpt is not None:
+        config, params, mask = load_field(args.ckpt)
+    else:
+        config = field_config_from_args(args, aabb, reso_cur, near_far)
+        params = init_field(init_key, config)
+
+    lr_decay_iters = (
+        args.lr_decay_iters if args.lr_decay_iters > 0 else args.n_iters
+    )
+    lr_factor = args.lr_decay_target_ratio ** (1.0 / lr_decay_iters)
+
+    upsample_list = list(args.upsamp_list or [2000, 3000, 4000, 5500, 7000])
+    update_mask_list = list(args.update_AlphaMask_list or [2000, 4000])
+    n_voxel_list = n_voxel_schedule(
+        args.N_voxel_init, args.N_voxel_final, len(upsample_list)
+    )
+
+    allrays = np.asarray(train_dataset.all_rays)
+    allrgbs = np.asarray(train_dataset.all_rgbs)
+    if not ndc_ray:
+        allrays, allrgbs = filtering_rays_host(
+            config, allrays, allrgbs, bbox_only=True
+        )
+
+    batch_size = (
+        args.train_batch_size if args.train_batch_size > 0 else args.batch_size
+    )
+    sampler = SimpleSampler(allrays.shape[0], batch_size, seed=seed)
+
+    bg_mode = "white" if white_bg else "black"
+    l1_weight = args.L1_weight_inital
+    tv_d, tv_a = args.TV_weight_density, args.TV_weight_app
+    rgb_channels = allrgbs.shape[-1]
+
+    state = make_optimizer(params, args.lr_init, args.lr_basis, lr_factor)
+
+    def build_step():
+        return make_train_step(
+            config, state.tx, has_mask=mask is not None, n_samples=n_samples,
+            ndc_ray=ndc_ray, ortho_weight=args.Ortho_weight,
+            use_l1=(args.L1_weight_inital > 0 or args.L1_weight_rest > 0),
+            use_tv_density=args.TV_weight_density > 0,
+            use_tv_app=args.TV_weight_app > 0,
+            rgb_channels=rgb_channels,
+        )
+
+    step_fn = build_step()
+    rays_dev = jnp.asarray(allrays)
+    rgbs_dev = jnp.asarray(allrgbs)
+    params = state.params
+    opt_state = state.opt_state
+
+    psnrs, psnrs_test = [], [0.0]
+    t_start = time.perf_counter()
+    for it in range(args.n_iters):
+        idx = jnp.asarray(sampler.nextids())
+        key, step_key, bg_key = jax.random.split(key, 3)
+        if bg_mode == "random":
+            bg_color = jax.random.uniform(bg_key, (3,))
+        else:
+            bg_color = jnp.ones(3) if bg_mode == "white" else jnp.zeros(3)
+        tv_d, tv_a = tv_d * lr_factor, tv_a * lr_factor
+        weights = {
+            "l1": jnp.float32(l1_weight),
+            "tv_d": jnp.float32(tv_d),
+            "tv_a": jnp.float32(tv_a),
+        }
+        if mask is not None:
+            params, opt_state, mse = step_fn(
+                params, opt_state, mask, rays_dev, rgbs_dev, idx, step_key,
+                bg_color, weights,
+            )
+        else:
+            params, opt_state, mse = step_fn(
+                params, opt_state, rays_dev, rgbs_dev, idx, step_key,
+                bg_color, weights,
+            )
+
+        if (it + 1) % args.progress_refresh_rate == 0:
+            m = float(mse)
+            psnrs.append(-10.0 * np.log(m) / np.log(10.0))
+            log_fn(
+                f"it {it + 1:05d} train_psnr {np.mean(psnrs):.2f} "
+                f"test_psnr {np.mean(psnrs_test):.2f} mse {m:.6f}"
+            )
+            psnrs = []
+
+        if args.N_vis != 0 and (it + 1) % args.vis_every == 0:
+            psnrs_test = evaluation(
+                test_dataset, config, params, mask,
+                f"{logfolder}/imgs_vis", N_vis=args.N_vis,
+                prtx=f"{it + 1:06d}_", n_samples=n_samples,
+                white_bg=white_bg, ndc_ray=ndc_ray,
+                compute_extra_metrics=False,
+            )
+
+        if it + 1 in update_mask_list:
+            reso_mask = reso_cur
+            if reso_cur[0] * reso_cur[1] * reso_cur[2] > 256 ** 3:
+                reso_mask = [256, 256, 256]
+            mask, new_aabb, _ = update_alpha_mask(
+                config, params, mask, tuple(reso_mask)
+            )
+            if it + 1 == update_mask_list[0]:
+                config, params = shrink(config, params, new_aabb,
+                                        mask.volume.shape[::-1])
+                l1_weight = args.L1_weight_rest
+                n_samples = min(args.nSamples,
+                                cal_n_samples(config.grid_size,
+                                              args.step_ratio))
+                # Shrink changes grid shapes -> Adam moments must be rebuilt.
+                # (The reference re-creates its optimizer at the coincident
+                # upsample event, train.py:401-415.) Resume at the decayed LR.
+                decay = lr_factor ** (it + 1)
+                state = make_optimizer(params, args.lr_init * decay,
+                                       args.lr_basis * decay, lr_factor)
+                opt_state = state.opt_state
+            if (not ndc_ray and len(update_mask_list) > 1
+                    and it + 1 == update_mask_list[1]):
+                allrays, allrgbs = filtering_rays_host(
+                    config, allrays, allrgbs, mask=mask
+                )
+                sampler = SimpleSampler(allrays.shape[0], args.batch_size,
+                                        seed=seed + it)
+                rays_dev = jnp.asarray(allrays)
+                rgbs_dev = jnp.asarray(allrgbs)
+            step_fn = build_step()
+
+        if it + 1 in upsample_list:
+            n_voxels = n_voxel_list.pop(0)
+            reso_cur = N_to_reso(n_voxels, config.aabb_np)
+            n_samples = min(args.nSamples,
+                            cal_n_samples(reso_cur, args.step_ratio))
+            config, params = upsample_volume_grid(config, params, reso_cur)
+            if args.lr_upsample_reset:
+                lr_scale = 1.0
+            else:
+                lr_scale = args.lr_decay_target_ratio ** (it / args.n_iters)
+            state = make_optimizer(params, args.lr_init * lr_scale,
+                                   args.lr_basis * lr_scale, lr_factor)
+            opt_state = state.opt_state
+            step_fn = build_step()
+
+    total_s = time.perf_counter() - t_start
+    log_fn(f"total training time: {total_s:.1f}s "
+           f"({1000 * total_s / max(args.n_iters, 1):.2f} ms/it)")
+
+    save_field(f"{logfolder}/{args.expname or 'exp'}.npz", config, params,
+               mask)
+    return config, params, mask, logfolder
