@@ -1,0 +1,230 @@
+"""Identification Module: DINOv2 patch features x ray embeddings via
+single-head QK attention (reference pose_estimation/identification_module.py,
+ray_preprocessor.py, multihead_attention.py, backbone.py).
+
+TPU-first recast: the reference boolean-masks image patches to a dynamic
+count (identification_module.py:158); here all 256 patches stay in the
+attention with a validity mask, and the per-ray score is the
+validity-weighted column sum — identical math, static shapes. The 540k-ray
+K projection + [patches, rays] logits are plain batched matmuls that XLA
+tiles onto the MXU; the softmax normalizes over the ray axis
+(multihead_attention.py:4-12) so scores need the full row — we keep the
+logits resident ([256, 540k] f32 = 0.5 GB, fine in HBM; a streaming
+variant can replace it if VMEM pressure ever matters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iffnerf_tpu.nn import linear_apply, linear_init, mlp_init
+from iffnerf_tpu.ops.encoding import positional_encoding
+from iffnerf_tpu.pose.vit import ViTConfig, init_vit, vit_forward_features
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class IDConfig:
+    backbone: ViTConfig = ViTConfig()
+    resize_size: int = 256
+    crop_size: int = 224
+    pe_freqs: int = 3          # image-patch PE (id_module.py:76-99)
+    ray_view_pe: int = 8
+    ray_pos_pe: int = 8
+    ray_rgb_pe: int = 6
+    ray_feature_c: int = 256
+    mask_threshold: float = 0.1
+
+    @property
+    def img_num_features(self) -> int:
+        return self.backbone.dim
+
+    @property
+    def backbone_wh(self):
+        return (self.backbone.grid, self.backbone.grid)
+
+    @property
+    def pe_channels(self) -> int:
+        return 2 + 2 * 2 * self.pe_freqs  # raw xy + sin/cos per freq
+
+    @property
+    def ray_in_dim(self) -> int:
+        return (3 + 2 * self.ray_pos_pe * 3) + (3 + 2 * self.ray_view_pe * 3) \
+            + (3 + 2 * self.ray_rgb_pe * 3)
+
+
+def init_id_module(key, config: IDConfig = IDConfig()):
+    k_vit, k_ray1, k_ray2, k_q, k_k = jax.random.split(key, 5)
+    d = config.img_num_features
+    fc = config.ray_feature_c
+    params = {
+        "backbone": init_vit(k_vit, config.backbone),
+        # RayPreprocessor: mlp (2 layers) + skip-concat mlp2 (2 layers)
+        # (ray_preprocessor.py:4-39)
+        "ray_mlp": mlp_init(k_ray1, [config.ray_in_dim, fc, fc]),
+        "ray_mlp2": mlp_init(k_ray2, [fc + config.ray_in_dim, fc, d]),
+        # QK attention, xavier-uniform + zero bias
+        # (multihead_attention.py:44-54)
+        "q_proj": _xavier_linear(k_q, d + config.pe_channels, d),
+        "k_proj": _xavier_linear(k_k, d, d),
+    }
+    return params
+
+
+def _xavier_linear(key, in_dim, out_dim):
+    bound = math.sqrt(6.0 / (in_dim + out_dim))
+    w = jax.random.uniform(key, (in_dim, out_dim), minval=-bound, maxval=bound)
+    return {"w": w, "b": jnp.zeros(out_dim)}
+
+
+# ---------------------------------------------------------------------------
+# Image preprocessing (identification_module.py:36-61)
+# ---------------------------------------------------------------------------
+
+
+def _resize(img: jnp.ndarray, out_h: int, out_w: int,
+            method: str) -> jnp.ndarray:
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], method)
+
+
+def preprocess_image(config: IDConfig, img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] in [0,1] -> [224, 224, 3] bicubic-resized (short side 256),
+    center-cropped, ImageNet-normalized."""
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = config.resize_size, int(round(w * config.resize_size / h))
+    else:
+        nh, nw = int(round(h * config.resize_size / w)), config.resize_size
+    img = _resize(img, nh, nw, "cubic")
+    top = (nh - config.crop_size) // 2
+    left = (nw - config.crop_size) // 2
+    img = img[top:top + config.crop_size, left:left + config.crop_size]
+    mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    std = jnp.asarray(IMAGENET_STD, img.dtype)
+    return (img - mean) / std
+
+
+def preprocess_mask(config: IDConfig, mask: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] bool -> [grid*grid] patch-validity bool (bilinear 256 ->
+    crop 224 -> bilinear to the patch grid, > 0.1;
+    identification_module.py:47-61,135)."""
+    m = mask.astype(jnp.float32)[..., None]
+    h, w = m.shape[:2]
+    if h < w:
+        nh, nw = config.resize_size, int(round(w * config.resize_size / h))
+    else:
+        nh, nw = int(round(h * config.resize_size / w)), config.resize_size
+    m = _resize(m, nh, nw, "linear")
+    top = (nh - config.crop_size) // 2
+    left = (nw - config.crop_size) // 2
+    m = m[top:top + config.crop_size, left:left + config.crop_size]
+    g = config.backbone.grid
+    m = _resize(m, g, g, "linear")
+    return (m[..., 0] > config.mask_threshold).reshape(-1)
+
+
+def img_position_encoding(config: IDConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """[grid*grid, 14] 2-D positional encoding: raw xy + sin/cos octaves
+    (identification_module.py:76-99)."""
+    g = config.backbone.grid
+    lin = np.linspace(-1.0, 1.0, g)
+    pos = np.stack(np.meshgrid(lin, lin, indexing="ij"), axis=-1).reshape(-1, 2)
+    freqs = 2.0 ** np.arange(config.pe_freqs)
+    pts = (pos[..., None] * freqs).reshape(pos.shape[0], -1)
+    out = np.concatenate([pos, np.sin(pts), np.cos(pts)], axis=-1)
+    return jnp.asarray(out, dtype)
+
+
+def image_features(params, config: IDConfig, img: jnp.ndarray,
+                   mask: jnp.ndarray):
+    """-> (features_w_pe [P, D+14], patch_valid [P] bool, features [P, D])."""
+    norm_img = preprocess_image(config, img)
+    patch_valid = preprocess_mask(config, mask)
+    feats = vit_forward_features(params["backbone"], norm_img, config.backbone)
+    pe = img_position_encoding(config, feats.dtype)
+    return jnp.concatenate([feats, pe], axis=-1), patch_valid, feats
+
+
+# ---------------------------------------------------------------------------
+# Ray path + attention
+# ---------------------------------------------------------------------------
+
+
+def ray_features(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
+    """Skip-MLP ray embedding (ray_preprocessor.py:29-39)."""
+    indata = [rays_ori, rays_dir, rays_rgb,
+              positional_encoding(rays_ori, config.ray_pos_pe),
+              positional_encoding(rays_dir, config.ray_view_pe),
+              positional_encoding(rays_rgb, config.ray_rgb_pe)]
+    x = jnp.concatenate(indata, axis=-1)
+    h = x
+    for layer in params["ray_mlp"]:
+        h = jax.nn.relu(linear_apply(layer, h))
+    h = jnp.concatenate([h, x], axis=-1)
+    h = jax.nn.relu(linear_apply(params["ray_mlp2"][0], h))
+    return linear_apply(params["ray_mlp2"][1], h)
+
+
+def run_attention(params, config: IDConfig, img, mask, rays_ori, rays_dir,
+                  rays_rgb):
+    """-> (scores [N_rays], attention [P, N_rays], patch_valid [P],
+    features_img [P, D]) (identification_module.py:162-168: per-ray score is
+    the sum of its softmaxed attention column over foreground patches)."""
+    feats_w_pe, patch_valid, feats = image_features(params, config, img, mask)
+    feats_rays = ray_features(params, config, rays_ori, rays_dir, rays_rgb)
+
+    q = linear_apply(params["q_proj"], feats_w_pe)     # [P, D]
+    k = linear_apply(params["k_proj"], feats_rays)     # [R, D]
+    logits = (q @ k.T) / math.sqrt(q.shape[-1])        # [P, R]
+    attention = jax.nn.softmax(logits, axis=-1)
+    scores = jnp.sum(
+        jnp.where(patch_valid[:, None], attention, 0.0), axis=0
+    )
+    return scores, attention, patch_valid, feats
+
+
+def test_image(params, config: IDConfig, img, mask, rays_ori, rays_dir,
+               rays_rgb, rays_to_output: int = 100):
+    """Top-k candidate rays for one image
+    (identification_module.py:193-209)."""
+    scores, attention, patch_valid, _ = run_attention(
+        params, config, img, mask, rays_ori, rays_dir, rays_rgb
+    )
+    values, indices = jax.lax.top_k(scores, rays_to_output)
+    return indices, values, scores, attention, patch_valid
+
+
+# ---------------------------------------------------------------------------
+# Loss (pose_estimation/loss.py:87-146)
+# ---------------------------------------------------------------------------
+
+
+def distance_based_score_target(camera_pose, rays_ori, rays_dir,
+                                tanh_denominator: float = 1.0):
+    """Per-ray target: 1 - tanh(point-line distance of the GT camera center
+    from the ray), clamped to the origin for rays pointing away
+    (loss.py:4-40, the ``target_score`` actually used)."""
+    cam_pos = camera_pose[:3, 3]
+    v = cam_pos[None, :] - rays_ori
+    proj = jnp.sum(v * rays_dir, axis=-1, keepdims=True)
+    closest = jnp.where(proj < 0, rays_ori, rays_ori + proj * rays_dir)
+    distance = jnp.linalg.norm(closest - cam_pos, axis=-1)
+    return 1.0 - jnp.tanh(distance / tanh_denominator)
+
+
+def distance_based_score_loss(pred_score, camera_pose, rays_ori, rays_dir,
+                              total_number_of_features):
+    """MSE against the normalized target (Σ target = n_valid_patches,
+    loss.py:109-146). Returns (loss, target)."""
+    target = distance_based_score_target(camera_pose, rays_ori, rays_dir)
+    target = jax.lax.stop_gradient(
+        target * (total_number_of_features / jnp.sum(target))
+    )
+    return jnp.mean(jnp.square(pred_score - target)), target

@@ -1,0 +1,116 @@
+"""Pose-estimation evaluation harness (reference pose_estimation/test.py:10-268):
+per test image run the jitted single-image estimate, accumulate
+translation/angular errors, top-100 recall and score loss, and emit the
+reference's JSON row schema (test.py:235-247)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iffnerf_tpu.pose.geometry import (
+    compute_angular_error,
+    compute_translation_error,
+)
+from iffnerf_tpu.pose.id_module import (
+    IDConfig,
+    distance_based_score_loss,
+)
+from iffnerf_tpu.pose.solve import estimate_pose_single
+
+
+def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
+                         rays_dirs, rays_rgb, model_up, sequence_id: str = "",
+                         compute_loss: bool = True, inerf_refinement: bool = False,
+                         nerf=None, k: int = 100, log_fn=print):
+    """Returns (results, avg_translation_error, avg_angular_error,
+    avg_loss_score, avg_recall)."""
+    model_up = model_up / jnp.linalg.norm(model_up)
+
+    translation_errors, angular_errors = [], []
+    recalls, avg_loss_scores, results = [], [], []
+
+    n_images = len(dataset.all_rgbs)
+    w, h = dataset.img_wh
+    t0 = time.perf_counter()
+    for img_idx in range(n_images):
+        pose = jnp.asarray(dataset.poses[img_idx])
+        obs = jnp.asarray(dataset.all_rgbs[img_idx]).reshape(h, w, -1)
+        if obs.shape[-1] == 4:
+            mask_img = obs[..., -1]
+            obs_img = obs[..., :3] * obs[..., -1:] + (1 - obs[..., -1:])
+        else:
+            mask_img = jnp.ones(obs.shape[:-1], obs.dtype)
+            obs_img = obs
+
+        c2w, scores, idx, weights = estimate_pose_single(
+            id_params, id_config, obs_img, mask_img, rays_ori, rays_dirs,
+            rays_rgb, model_up, k=k,
+        )
+
+        avg_score, recall = -1.0, -1.0
+        if compute_loss:
+            loss, target = distance_based_score_loss(
+                scores, pose, rays_ori, rays_dirs,
+                id_config.backbone_wh[0] * id_config.backbone_wh[1],
+            )
+            avg_score = float(loss)
+            target_idx = jax.lax.top_k(target, k)[1]
+            recall = float(
+                jnp.isin(target_idx, idx).sum() / target_idx.shape[0]
+            )
+        avg_loss_scores.append(avg_score)
+        recalls.append(recall)
+
+        if inerf_refinement and nerf is not None:
+            from iffnerf_tpu.inerf import estimate_pose_inerf
+
+            nerf_config, nerf_params, nerf_mask = nerf
+            obs4 = np.concatenate(
+                [np.asarray(obs_img), np.asarray(mask_img)[..., None]], -1
+            )
+            _, c2w, _ = estimate_pose_inerf(
+                np.asarray(c2w), obs4, np.asarray(dataset.K[0]),
+                nerf_config, nerf_params, nerf_mask,
+                n_iters=800, lrate=0.02, dice_loss=True,
+                sampling_strategy="random",
+            )
+            c2w = jnp.asarray(c2w)
+
+        gt_pos = pose[:3, 3]
+        pred_pos = c2w[:3, 3]
+        translation_errors.append(
+            float(compute_translation_error(gt_pos, pred_pos))
+        )
+        angular_errors.append(
+            float(compute_angular_error(pose[:3, :3], c2w[:3, :3]))
+        )
+
+        results.append(
+            {
+                "sequence_id": sequence_id,
+                "category_name": "id_net",
+                "frame_id": img_idx,
+                "loss": float(jnp.mean(weights)),
+                "scores_loss": avg_score,
+                "recall": recall,
+                "total_optimization_time_in_ms": 0.0,
+                "pred_c2w": np.asarray(c2w).tolist(),
+                "gt_c2w": np.asarray(pose).tolist(),
+            }
+        )
+
+    total = time.perf_counter() - t0
+    log_fn(f"Average loss score: {np.mean(avg_loss_scores)}")
+    log_fn(f"Average Recall: {np.mean(recalls)}")
+    log_fn(f"Time per element: {total / max(n_images, 1)}")
+    avg_t = float(np.mean(translation_errors))
+    avg_a = float(np.mean(angular_errors))
+    log_fn(f"Translation Error: {avg_t}")
+    log_fn(f"Angular Error: {avg_a}")
+    return results, avg_t, avg_a, float(np.mean(avg_loss_scores)), float(
+        np.mean(recalls)
+    )

@@ -1,0 +1,145 @@
+"""ID-module trainer (reference pose_estimation/train.py:8-234).
+
+Parity: 1500 iterations, gradient accumulation over 32 random train images
+per optimizer step, Adam with per-module LRs (ray preprocessor + attention
+4e-3, backbone 1e-3), candidate-ray-set renewal every 10 iterations,
+NaN-loss skip, periodic pose eval on train+val. Trains with the *negated*
+ray directions (train.py:98) — the reference's (asymmetric) convention.
+
+TPU-first: the 32-image accumulation is one jitted ``lax.scan`` — grads are
+summed on device and applied once, so an optimizer step is a single XLA
+program instead of 32 backward passes + a host loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iffnerf_tpu.pose.id_module import (
+    IDConfig,
+    distance_based_score_loss,
+    run_attention,
+)
+
+
+def make_id_optimizer(params):
+    labels = {
+        "backbone": "backbone",
+        "ray_mlp": "fast",
+        "ray_mlp2": "fast",
+        "q_proj": "fast",
+        "k_proj": "fast",
+    }
+    tx = optax.multi_transform(
+        {"fast": optax.adam(4.0e-3), "backbone": optax.adam(1.0e-3)},
+        {k: labels[k] for k in params},
+    )
+    return tx
+
+
+def make_id_train_step(config: IDConfig, tx, accum_steps: int):
+    """One jitted optimizer step: scan over ``accum_steps`` images, sum
+    grads, skip non-finite contributions (train.py:114-115), apply Adam."""
+
+    def single_loss(params, img, mask, pose, rays_ori, rays_dirs, rays_rgb):
+        scores, _, patch_valid, _ = run_attention(
+            params, config, img, mask, rays_ori, rays_dirs, rays_rgb
+        )
+        loss, _ = distance_based_score_loss(
+            scores, pose, rays_ori, rays_dirs, jnp.sum(patch_valid)
+        )
+        return loss
+
+    grad_fn = jax.value_and_grad(single_loss)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, imgs, masks, poses, rays_ori, rays_dirs,
+             rays_rgb):
+        def body(carry, batch):
+            grads_acc, loss_acc = carry
+            img, mask, pose = batch
+            loss, grads = grad_fn(
+                params, img, mask, pose, rays_ori, rays_dirs, rays_rgb
+            )
+            ok = jnp.isfinite(loss)
+            grads = jax.tree.map(
+                lambda g: jnp.where(ok, g, 0.0), grads
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + jnp.where(ok, loss, 0.0)), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            body, (zero, 0.0), (imgs, masks, poses)
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum / accum_steps
+
+    return step
+
+
+def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
+                    train_dataset, val_dataset, sequence_id: str = "",
+                    n_iterations: int = 1500,
+                    gradient_accumulation_steps: int = 32,
+                    renewal_every_n_iterations: int = 10,
+                    val_every_n_iterations: int = 20,
+                    start_iterations: int = 0, log_fn=print,
+                    eval_fn=None):
+    """Returns trained id_params. ``rays_generator()`` yields
+    (rays_ori, rays_dirs, rays_rgb); ``eval_fn(params, rays)`` optional
+    periodic pose eval hook."""
+    tx = make_id_optimizer(id_params)
+    opt_state = tx.init(id_params)
+    step_fn = make_id_train_step(
+        id_config, tx, gradient_accumulation_steps
+    )
+
+    w, h = train_dataset.img_wh
+    all_rgbs = np.asarray(train_dataset.all_rgbs).reshape(
+        len(train_dataset.all_rgbs), h, w, -1
+    )
+    poses = np.asarray(train_dataset.poses)
+
+    # model_up = mean of train-pose Y columns (pose_estimation/train.py:60)
+    model_up = jnp.asarray(poses[:, :3, 1].mean(axis=0))
+
+    rays = None
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2 ** 31)))
+    running = 0.0
+    for it in range(start_iterations, n_iterations):
+        if (rays is None) or it % renewal_every_n_iterations == 0:
+            rays_ori, rays_dirs, rays_rgb = rays_generator()
+            rays = (jnp.asarray(rays_ori), jnp.asarray(rays_dirs),
+                    jnp.asarray(rays_rgb))
+
+        img_idx = rng.integers(0, all_rgbs.shape[0],
+                               gradient_accumulation_steps)
+        batch = all_rgbs[img_idx]
+        if batch.shape[-1] == 4:
+            masks = batch[..., -1] > 0.3
+            imgs = batch[..., :3] * batch[..., -1:] + (1 - batch[..., -1:])
+        else:
+            masks = np.ones(batch.shape[:-1], bool)
+            imgs = batch
+
+        id_params, opt_state, loss = step_fn(
+            id_params, opt_state, jnp.asarray(imgs), jnp.asarray(masks),
+            jnp.asarray(poses[img_idx]), rays[0], -rays[1], rays[2],
+        )
+        running += float(loss)
+
+        if (it + 1) % 20 == 0:
+            log_fn(f"[{it}] loss: {running / 20}")
+            running = 0.0
+        if eval_fn is not None and (it + 1) % val_every_n_iterations == 0:
+            eval_fn(id_params, rays, model_up)
+
+    return id_params, model_up
