@@ -99,6 +99,27 @@ def load_field(path: str):
     return config, params, mask
 
 
+def save_pytree(path: str, tree, meta: dict | None = None) -> None:
+    """Generic pytree checkpoint (used for the ID module — analog of the
+    reference's id_module.th dict, pose_estimation/train.py:226-234)."""
+    blobs = _flatten(tree)
+    if meta:
+        blobs["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+    np.savez(path, **blobs)
+
+
+def load_pytree(path: str):
+    """-> (tree, meta dict)."""
+    with np.load(path) as z:
+        blobs = {k: z[k] for k in z.files}
+    meta = {}
+    if "meta_json" in blobs:
+        meta = json.loads(bytes(blobs.pop("meta_json")).decode())
+    return _unflatten(blobs), meta
+
+
 # ---------------------------------------------------------------------------
 # Reference .th (torch) checkpoint conversion
 # ---------------------------------------------------------------------------

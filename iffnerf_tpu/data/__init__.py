@@ -9,22 +9,20 @@ satisfying the reference's duck-typed contract (SURVEY.md §2.7): ``all_rays``
 
 from iffnerf_tpu.data.base import RayDataset
 from iffnerf_tpu.data.blender import load_blender
+from iffnerf_tpu.data.nsvf import load_nsvf
+from iffnerf_tpu.data.tankstemple import load_tankstemple
+from iffnerf_tpu.data.llff import load_llff
+from iffnerf_tpu.data.your_own import load_your_own
 
-# reference dataLoader/__init__.py:12-22; entries fill in as loaders land.
+# reference dataLoader/__init__.py:12-22 (mip360/co3d/repair pending)
 dataset_dict = {
     "blender": load_blender,
+    "nsvf": load_nsvf,
+    "tankstemple": load_tankstemple,
+    "llff": load_llff,
+    "own_data": load_your_own,
 }
 
 
 def register_dataset(name: str, loader) -> None:
     dataset_dict[name] = loader
-
-
-def _lazy(name):
-    def load(*args, **kwargs):
-        import importlib
-
-        mod = importlib.import_module(f"iffnerf_tpu.data.{name}")
-        return getattr(mod, f"load_{name}")(*args, **kwargs)
-
-    return load

@@ -112,7 +112,9 @@ def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
     model_up = jnp.asarray(poses[:, :3, 1].mean(axis=0))
 
     rays = None
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2 ** 31)))
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+    )
     running = 0.0
     for it in range(start_iterations, n_iterations):
         if (rays is None) or it % renewal_every_n_iterations == 0:

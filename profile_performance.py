@@ -1,0 +1,137 @@
+"""FLOPs / latency profiler for the render forward and training step
+(reference profile_performance.py:47-191 — torch.profiler + CUDA events
+become XLA cost analysis + jax.profiler traces + amortized wall timing).
+
+Usage:
+    python profile_performance.py --config configs/lego.txt [--trace DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("IFFNERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+
+from iffnerf_tpu.config import config_parser
+
+
+def flops_to_string(flops: float) -> str:
+    """(reference utils.py:237-251)"""
+    for unit, div in (("TFLOPs", 1e12), ("GFLOPs", 1e9), ("MFLOPs", 1e6)):
+        if flops >= div:
+            return f"{flops / div:.2f} {unit}"
+    return f"{flops:.0f} FLOPs"
+
+
+def amortized_ms(fn, reps: int = 20) -> float:
+    """Median wall time per call; amortizes host<->device round trips by
+    timing ``reps`` dispatches between two fetches."""
+    import jax
+
+    fn()  # warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out)
+        # force a true sync through the transfer path
+        np.asarray(jax.tree.leaves(out)[0])
+        ts.append((time.perf_counter() - t0) / reps * 1000.0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    args = config_parser(known_only=True,
+                         extra_parser_hook=lambda p: p.add_argument(
+                             "--trace", type=str, default=None))
+
+    from iffnerf_tpu.models import FieldConfig, init_field
+    from iffnerf_tpu.models.render import render_rays
+    from iffnerf_tpu.train.trainer import (
+        field_config_from_args,
+        make_optimizer,
+        make_train_step,
+    )
+    from iffnerf_tpu.utils.misc import N_to_reso, cal_n_samples
+
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    reso = N_to_reso(args.N_voxel_init, aabb)
+    n_samples = min(args.nSamples, cal_n_samples(reso, args.step_ratio))
+    config = field_config_from_args(args, aabb, reso, (2.0, 6.0))
+    key = jax.random.PRNGKey(0)
+    params = init_field(key, config)
+
+    n = args.batch_size
+    k1, k2 = jax.random.split(key)
+    rays_o = jax.random.uniform(k1, (n, 3), minval=-3, maxval=3)
+    d = jax.random.normal(k2, (n, 3))
+    rays = jnp.concatenate(
+        [rays_o, d / jnp.linalg.norm(d, axis=-1, keepdims=True),
+         0.01 * jnp.ones((n, 1))], axis=-1,
+    )
+    rgbs = jax.random.uniform(k1, (n, 4))
+
+    # ---- forward ----
+    fwd = jax.jit(
+        lambda p, r: render_rays(config, p, None, r, is_train=False,
+                                 white_bg=True, n_samples=n_samples)[0]
+    )
+    lowered = fwd.lower(params, rays)
+    fwd_cost = lowered.compile().cost_analysis()
+    fwd_flops = fwd_cost.get("flops", float("nan"))
+    fwd_ms = amortized_ms(lambda: fwd(params, rays))
+    print(f"forward:  {flops_to_string(fwd_flops)}  {fwd_ms:.3f} ms "
+          f"({n} rays x {n_samples} samples)")
+
+    # ---- forward + backward (full train step) ----
+    state = make_optimizer(params, args.lr_init, args.lr_basis, 0.9999)
+    step_fn = make_train_step(
+        config, state.tx, has_mask=False, n_samples=n_samples, ndc_ray=False,
+        ortho_weight=0.0, use_l1=True, use_tv_density=False,
+        use_tv_app=False, rgb_channels=4,
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    weights = {"l1": jnp.float32(8e-5), "tv_d": jnp.float32(0),
+               "tv_a": jnp.float32(0)}
+
+    def run_step(p, o):
+        return step_fn(p, o, rays, rgbs, idx, jax.random.PRNGKey(1),
+                       jnp.ones(3), weights)
+
+    p, o = params, state.opt_state
+    p, o, _ = run_step(p, o)  # warm/compile
+
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            p, o, mse = run_step(p, o)
+        float(mse)
+        ts.append((time.perf_counter() - t0) / 10 * 1000.0)
+    step_ms = float(np.median(ts))
+    print(f"train step (fwd+bwd+adam): {step_ms:.3f} ms")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(5):
+                p, o, mse = run_step(p, o)
+            float(mse)
+        print(f"profiler trace written to {args.trace}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""IFFNeRF pose-estimation CLI — reference-parity driver
+(reference train_eval_pose_est.py:24-269): per object found in
+``--exp_patch`` (tensorf_<obj>_<suffix> run dirs), train the Identification
+Module against the frozen TensoRF field, then evaluate single-image 6DoF
+pose on the test split twice (overfit rays + regenerated rays, reseeded with
+starting_seed=55176280), aggregating the JSON rows to ``--out_path``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if os.environ.get("IFFNERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+
+from iffnerf_tpu.config import config_parser
+
+
+def add_pose_args(parser):
+    """Pose-CLI flag surface (reference pose_estimation/args.py:4-53)."""
+    parser.add_argument("--gpu", default="0")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--exp_patch", type=str, required=True)
+    parser.add_argument("--out_path", type=str, required=True)
+    parser.add_argument("--resize_factor", type=float, default=1.0)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--algorithm_type", type=str, default="inerf")
+    parser.add_argument("--starting_pose_strategy", type=str,
+                        default="histogram_comparison")
+    parser.add_argument("--limit_categories", type=str, nargs="+", default=[])
+    # TPU-build extras (no torch.hub at runtime):
+    parser.add_argument("--backbone_ckpt", type=str, default=None,
+                        help="npz of converted DINOv2 ViT-S/14 weights "
+                             "(tools/convert_dinov2.py); random init if unset")
+    parser.add_argument("--id_iters", type=int, default=1500)
+    parser.add_argument("--gen_points", type=int, default=20000)
+    parser.add_argument("--accum_steps", type=int, default=32)
+
+
+def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
+                           starting_seed, inerf_refinement=False):
+    """(reference train_eval_pose_est.py:24-156)"""
+    import jax
+    import jax.numpy as jnp
+
+    from iffnerf_tpu.checkpoint import load_pytree, save_pytree
+    from iffnerf_tpu.pose import (
+        IDConfig,
+        explore_field,
+        init_id_module,
+        test_pose_estimation,
+        train_id_module,
+    )
+    from iffnerf_tpu.pose.model_utils import load_model
+    from iffnerf_tpu.pose.vit import convert_torch_dinov2  # noqa: F401
+
+    print("data_path:", data_path)
+    train_dataset = loader(data_path, split="train",
+                           downsample=args.downsample_train, is_stack=True)
+    test_dataset = loader(data_path, split="test",
+                          downsample=args.downsample_train, is_stack=True)
+
+    config, params, mask = load_model(ckpt_path)
+    nerf = (config, params, mask)
+
+    id_config = IDConfig()
+    id_params = init_id_module(jax.random.PRNGKey(args.seed), id_config)
+    if args.backbone_ckpt:
+        backbone, _ = load_pytree(args.backbone_ckpt)
+        id_params["backbone"] = backbone
+
+    id_ckpt_path = os.path.join(os.path.dirname(ckpt_path), "id_module.npz")
+    start_iterations = 0
+    if os.path.exists(id_ckpt_path):
+        print("Checkpoint already exist, skip training phase")
+        id_params, meta = load_pytree(id_ckpt_path)
+        start_iterations = int(meta.get("epoch", args.id_iters))
+
+    key = jax.random.PRNGKey(args.seed)
+    gen = functools.partial(
+        explore_field, key, config, params, mask,
+        gen_points=args.gen_points,
+    )
+
+    id_params, model_up = train_id_module(
+        key, id_params, id_config, gen, train_dataset, test_dataset,
+        sequence_id=sequence_id, n_iterations=args.id_iters,
+        gradient_accumulation_steps=args.accum_steps,
+        start_iterations=start_iterations,
+    )
+    save_pytree(id_ckpt_path, id_params, {"epoch": args.id_iters})
+
+    print("Training complete starting testing phase...")
+    rays_ori, rays_dirs, rays_rgb = gen()
+    model_up = jnp.asarray(
+        np.asarray(train_dataset.poses)[:, :3, 1].mean(axis=0)
+    )
+
+    print("Testing performances on same points...")
+    np.random.seed(starting_seed)
+    _, val_t, val_a, val_s, val_r = test_pose_estimation(
+        test_dataset, id_params, id_config, rays_ori, rays_dirs, rays_rgb,
+        model_up, sequence_id=sequence_id,
+        inerf_refinement=inerf_refinement, nerf=nerf,
+    )
+    print("Val AVG translation error:", val_t)
+    print("Val AVG angular error:", val_a)
+
+    print("Testing real performances on real data...")
+    np.random.seed(starting_seed)
+    rays_ori, rays_dirs, rays_rgb = gen()
+    results, test_t, test_a, test_s, test_r = test_pose_estimation(
+        test_dataset, id_params, id_config, rays_ori, rays_dirs, rays_rgb,
+        model_up, sequence_id=sequence_id,
+        inerf_refinement=inerf_refinement, nerf=nerf,
+    )
+    print("Test AVG translation error:", test_t)
+    print("Test AVG angular error:", test_a)
+    return results
+
+
+def main():
+    args = config_parser(extra_parser_hook=add_pose_args, known_only=True)
+
+    from iffnerf_tpu.data import dataset_dict
+    from iffnerf_tpu.pose.eval_utils import parse_exp_dir
+
+    out_path_abs = os.path.abspath(args.out_path)
+    os.makedirs(os.path.dirname(out_path_abs) or ".", exist_ok=True)
+
+    if args.dataset_name == "blender":
+        loader = dataset_dict["blender"]
+        suffix = "_VM"
+    else:
+        loader = dataset_dict["tankstemple"]
+        suffix = "_VMtt"
+
+    results = []
+    for exp in parse_exp_dir(args.exp_patch, suffix).values():
+        data_path = os.path.join(args.datadir, exp["sequence_id"])
+        if not os.path.isdir(data_path):
+            data_path = args.datadir
+        try:
+            results.extend(
+                pretrain_single_object(
+                    args, data_path, loader, exp["checkpoint_filepath"],
+                    exp["sequence_id"], starting_seed=55176280,
+                    inerf_refinement=args.algorithm_type == "inerf_dice",
+                )
+            )
+        except RuntimeError:
+            traceback.print_exc()
+
+    print("Saving results")
+    with open(out_path_abs, "w") as fh:
+        json.dump(results, fh)
+
+
+if __name__ == "__main__":
+    np.random.seed(500661008)
+    main()
