@@ -13,13 +13,19 @@ from iffnerf_tpu.data.nsvf import load_nsvf
 from iffnerf_tpu.data.tankstemple import load_tankstemple
 from iffnerf_tpu.data.llff import load_llff
 from iffnerf_tpu.data.your_own import load_your_own
+from iffnerf_tpu.data.mip360 import load_mip360
+from iffnerf_tpu.data.repair import load_repair
 
-# reference dataLoader/__init__.py:12-22 (mip360/co3d/repair pending)
+# reference dataLoader/__init__.py:12-22 (co3d annotation variant pending;
+# co3d_metashape shares the Metashape path used by "repair")
 dataset_dict = {
     "blender": load_blender,
     "nsvf": load_nsvf,
     "tankstemple": load_tankstemple,
     "llff": load_llff,
+    "mip360": load_mip360,
+    "repair": load_repair,
+    "co3d_metashape": load_repair,
     "own_data": load_your_own,
 }
 
