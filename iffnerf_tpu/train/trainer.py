@@ -218,6 +218,24 @@ def field_config_from_args(args, aabb, grid_size, near_far) -> FieldConfig:
     )
 
 
+def make_summary_writer(logfolder: str):
+    """TensorBoard writer (reference train.py:157); no-op fallback when
+    tensorboard isn't importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(logfolder)
+    except ImportError:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        return _Null()
+
+
 def reconstruction(args, seed: int = 20211202, log_fn=print):
     """Full training driver (reference reconstruction, train.py:126-504).
     Returns (config, params, mask, logfolder)."""
@@ -298,6 +316,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     params = state.params
     opt_state = state.opt_state
 
+    writer = make_summary_writer(logfolder)
     psnrs, psnrs_test = [], [0.0]
     t_start = time.perf_counter()
     for it in range(args.n_iters):
@@ -326,7 +345,10 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
 
         if (it + 1) % args.progress_refresh_rate == 0:
             m = float(mse)
-            psnrs.append(-10.0 * np.log(m) / np.log(10.0))
+            psnr = -10.0 * np.log(m) / np.log(10.0)
+            psnrs.append(psnr)
+            writer.add_scalar("train/PSNR", psnr, global_step=it)
+            writer.add_scalar("train/mse", m, global_step=it)
             log_fn(
                 f"it {it + 1:05d} train_psnr {np.mean(psnrs):.2f} "
                 f"test_psnr {np.mean(psnrs_test):.2f} mse {m:.6f}"
@@ -341,6 +363,8 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 white_bg=white_bg, ndc_ray=ndc_ray,
                 compute_extra_metrics=False,
             )
+            writer.add_scalar("test/psnr", float(np.mean(psnrs_test)),
+                              global_step=it)
 
         if it + 1 in update_mask_list:
             reso_mask = reso_cur
@@ -393,6 +417,43 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     log_fn(f"total training time: {total_s:.1f}s "
            f"({1000 * total_s / max(args.n_iters, 1):.2f} ms/it)")
 
+    writer.close()
     save_field(f"{logfolder}/{args.expname or 'exp'}.npz", config, params,
                mask)
+
+    if args.render_train or args.render_test or args.render_path:
+        _final_renders(args, config, params, mask, logfolder, test_dataset,
+                       white_bg, ndc_ray, n_samples)
     return config, params, mask, logfolder
+
+
+def _final_renders(args, config, params, mask, logfolder, test_dataset,
+                   white_bg, ndc_ray, n_samples):
+    """Final train/test/path renders (reference train.py:431-497)."""
+    from iffnerf_tpu.data import dataset_dict
+    from iffnerf_tpu.render import evaluation, evaluation_path
+
+    if args.render_train:
+        train_ds = dataset_dict[args.dataset_name](
+            args.datadir, split="train", downsample=args.downsample_train,
+            is_stack=True,
+        )
+        psnrs = evaluation(
+            train_ds, config, params, mask, f"{logfolder}/imgs_train_all",
+            N_vis=-1, n_samples=n_samples, white_bg=white_bg,
+            ndc_ray=ndc_ray,
+        )
+        print(f"======> {args.expname} train all psnr: {np.mean(psnrs)} <===")
+    if args.render_test:
+        psnrs = evaluation(
+            test_dataset, config, params, mask, f"{logfolder}/imgs_test_all",
+            N_vis=-1, n_samples=n_samples, white_bg=white_bg,
+            ndc_ray=ndc_ray,
+        )
+        print(f"======> {args.expname} test all psnr: {np.mean(psnrs)} <====")
+    if args.render_path and test_dataset.render_path is not None:
+        evaluation_path(
+            config, params, mask, test_dataset.render_path, test_dataset,
+            f"{logfolder}/imgs_path_all", n_samples=n_samples,
+            white_bg=white_bg, ndc_ray=ndc_ray,
+        )
