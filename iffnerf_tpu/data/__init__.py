@@ -15,9 +15,10 @@ from iffnerf_tpu.data.llff import load_llff
 from iffnerf_tpu.data.your_own import load_your_own
 from iffnerf_tpu.data.mip360 import load_mip360
 from iffnerf_tpu.data.repair import load_repair
+from iffnerf_tpu.data.co3d import load_co3d
 
-# reference dataLoader/__init__.py:12-22 (co3d annotation variant pending;
-# co3d_metashape shares the Metashape path used by "repair")
+# reference dataLoader/__init__.py:12-22
+# (co3d_metashape shares the Metashape path used by "repair")
 dataset_dict = {
     "blender": load_blender,
     "nsvf": load_nsvf,
@@ -25,6 +26,7 @@ dataset_dict = {
     "llff": load_llff,
     "mip360": load_mip360,
     "repair": load_repair,
+    "co3d": load_co3d,
     "co3d_metashape": load_repair,
     "own_data": load_your_own,
 }
