@@ -18,7 +18,7 @@ import json
 import numpy as np
 import jax.numpy as jnp
 
-from iffnerf_tpu.models.field import AlphaMask, FieldConfig
+from iffnerf_tpu.models.field import AlphaMask, FieldConfig, make_alpha_mask
 
 
 def _flatten(tree, prefix=""):
@@ -89,9 +89,8 @@ def load_field(path: str):
         shape = tuple(blobs.pop("alphaMask.shape"))
         n = int(np.prod(shape))
         vol = np.unpackbits(blobs.pop("alphaMask.mask"))[:n].reshape(shape)
-        mask = AlphaMask(
-            volume=jnp.asarray(vol, jnp.float32),
-            aabb=jnp.asarray(blobs.pop("alphaMask.aabb")),
+        mask = make_alpha_mask(
+            jnp.asarray(vol, jnp.float32), blobs.pop("alphaMask.aabb")
         )
     params = _unflatten(
         {k[len("params/"):]: v for k, v in blobs.items()}
@@ -214,8 +213,8 @@ def load_torch_checkpoint(path: str):
         shape = tuple(ckpt["alphaMask.shape"])
         n = int(np.prod(shape))
         vol = np.unpackbits(ckpt["alphaMask.mask"])[:n].reshape(shape)
-        mask = AlphaMask(
-            volume=jnp.asarray(vol, jnp.float32),
-            aabb=jnp.asarray(np.asarray(ckpt["alphaMask.aabb"], np.float32)),
+        mask = make_alpha_mask(
+            jnp.asarray(vol, jnp.float32),
+            np.asarray(ckpt["alphaMask.aabb"], np.float32),
         )
     return config, params, mask

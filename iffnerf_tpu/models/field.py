@@ -31,6 +31,14 @@ from iffnerf_tpu.nn import linear_init, linear_apply
 from iffnerf_tpu.models.shading import init_shading
 from iffnerf_tpu.ops.grid_sample import grid_sample_1d, grid_sample_2d, grid_sample_3d
 from iffnerf_tpu.ops.interpolate import resize_bilinear_ac, resize_linear_ac
+from iffnerf_tpu.ops.packed_sample import (
+    pack_line,
+    pack_plane,
+    pack_volume,
+    packed_bilerp,
+    packed_lerp,
+    packed_trilerp,
+)
 
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
 VEC_MODE = (2, 1, 0)
@@ -61,6 +69,20 @@ class FieldConfig:
     fea2dense_act: str = "softplus"
     contraction_type: str = "aabb"
     step_size_bg: float = 0.1
+    # "auto": footprint-packed fused gathers on TPU (6 rows/sample instead
+    # of 36 — see ops/packed_sample.py), plain gathers on CPU where the
+    # packing overhead loses; "on"/"off" force either path.
+    fused_eval: str = "auto"
+
+    @property
+    def use_fused_eval(self) -> bool:
+        if self.model_name != "TensorVMSplit":
+            return False
+        if self.fused_eval == "auto":
+            import jax
+
+            return jax.default_backend() != "cpu"
+        return self.fused_eval == "on"
 
     # --- derived statics (reference update_stepSize, tensorBase.py:354-375) ---
 
@@ -108,16 +130,30 @@ class AlphaMask:
 
     ``volume`` is [D, H, W] (z, y, x-major), sampled trilinearly; ``aabb``
     is the [2, 3] box it was built over (may differ from the field's after
-    shrink)."""
+    shrink). ``packed`` is the optional [D*H*W, 8] uint8 footprint table
+    (ops/packed_sample.py) that turns the 8-row trilinear gather into one
+    gathered row on TPU."""
 
     volume: jnp.ndarray
     aabb: jnp.ndarray
+    packed: jnp.ndarray | None = None
+
+
+def make_alpha_mask(volume: jnp.ndarray, aabb) -> AlphaMask:
+    return AlphaMask(
+        volume=volume,
+        aabb=jnp.asarray(aabb),
+        packed=pack_volume(volume, dtype=jnp.uint8),
+    )
 
 
 def sample_alpha(mask: AlphaMask, xyz: jnp.ndarray) -> jnp.ndarray:
     """Trilinear alpha-mask lookup at world coords xyz [..., 3] -> [...]."""
     inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
     coords = (xyz - mask.aabb[0]) * inv_size - 1.0
+    if mask.packed is not None:
+        d, h, w = mask.volume.shape
+        return packed_trilerp(mask.packed, d, h, w, coords)
     return grid_sample_3d(mask.volume, coords)
 
 
@@ -242,6 +278,46 @@ def compute_densityfeature(config: FieldConfig, params, xyz: jnp.ndarray):
         line_feat = grid_sample_1d(params["density_line"][i], xyz[..., VEC_MODE[i]])
         prod = line_feat if prod is None else prod * line_feat
     return jnp.sum(prod, axis=-1)
+
+
+def compute_features_fused(config: FieldConfig, params, xyz: jnp.ndarray):
+    """Density + appearance features in one pass with ONE gathered row per
+    plane and per line (density/app channels concatenated before footprint
+    packing; ops/packed_sample.py). Numerically identical to
+    compute_densityfeature + compute_appfeature but ~6x fewer gathered rows
+    — the TPU hot-path replacement for the reference's six F.grid_sample
+    calls (tensoRF.py:216-256).
+
+    Returns (sigma_feature [...], app_feature [..., app_dim])."""
+    assert config.model_name == "TensorVMSplit"
+    sigma = None
+    app_parts = []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        cd = config.density_n_comp[i]
+        ca = config.app_n_comp[i]
+        plane_cat = jnp.concatenate(
+            [params["density_plane"][i], params["app_plane"][i]], axis=-1
+        )
+        h, w = plane_cat.shape[:2]
+        packed = pack_plane(plane_cat)
+        feats = packed_bilerp(
+            packed, h, w, cd + ca,
+            jnp.stack([xyz[..., m0], xyz[..., m1]], axis=-1),
+        )
+        line_cat = jnp.concatenate(
+            [params["density_line"][i], params["app_line"][i]], axis=-1
+        )
+        lfeats = packed_lerp(
+            pack_line(line_cat), line_cat.shape[0], cd + ca,
+            xyz[..., VEC_MODE[i]],
+        )
+        prod = feats * lfeats
+        contrib = jnp.sum(prod[..., :cd], axis=-1)
+        sigma = contrib if sigma is None else sigma + contrib
+        app_parts.append(prod[..., cd:])
+    app = linear_apply(params["basis_mat"], jnp.concatenate(app_parts, -1))
+    return sigma, app
 
 
 def compute_appfeature(config: FieldConfig, params, xyz: jnp.ndarray):
@@ -462,7 +538,7 @@ def update_alpha_mask(config: FieldConfig, params, mask: AlphaMask | None,
     )
     vol = (vol >= config.alpha_mask_thres).astype(jnp.float32)
 
-    new_mask = AlphaMask(volume=vol, aabb=jnp.asarray(config.aabb_np))
+    new_mask = make_alpha_mask(vol, config.aabb_np)
 
     # AABB from occupied voxels (host-side reduction; tensorBase.py:685-690).
     vol_np = np.asarray(vol)

@@ -18,6 +18,7 @@ from iffnerf_tpu.models.field import (
     FieldConfig,
     compute_appfeature,
     compute_densityfeature,
+    compute_features_fused,
     feature2density,
     normalize_coord,
     sample_alpha,
@@ -174,13 +175,19 @@ def render_rays(
         ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
 
     coords = normalize_coord(config, xyz)
-    sigma_feature = compute_densityfeature(config, params, coords)
+    if config.use_fused_eval:
+        # fused one-row-per-plane gather path (compute_features_fused)
+        sigma_feature, app_features = compute_features_fused(
+            config, params, coords
+        )
+    else:
+        sigma_feature = compute_densityfeature(config, params, coords)
+        app_features = compute_appfeature(config, params, coords)
     sigma = jnp.where(ray_valid, feature2density(config, sigma_feature), 0.0)
 
     alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
 
     app_mask = weight > config.ray_march_weight_thres
-    app_features = compute_appfeature(config, params, coords)
     app_features = jnp.where(app_mask[..., None], app_features, 0.0)
 
     acc_map = jnp.sum(weight, axis=-1)

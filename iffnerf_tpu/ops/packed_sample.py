@@ -1,0 +1,145 @@
+"""Footprint-packed grid sampling — the TPU-native grid_sample fast path.
+
+TPU gathers are row-rate bound (~7 ns per gathered row regardless of row
+width up to ~128 lanes; measured on v5e). The naive bilinear plane sample
+costs 4 gathered rows per (plane, sample) and the reference's VM field needs
+3 density planes + 3 app planes + 6 line lookups = 36 rows per sample —
+~400 ms per 4096x443-sample forward.
+
+The packed layout stores, at each texel, the channels of its entire
+interpolation footprint:
+
+  * planes: [H, W, C] -> [H*W, 4C] rows holding the (y,x), (y,x+1),
+    (y+1,x), (y+1,x+1) texels (edge-clamped), so one gathered row serves the
+    whole bilerp;
+  * lines:  [L, C] -> [L, 2C] rows holding (z, z+1);
+  * volumes (alpha mask): [D, H, W] -> [D*H*W, 8] trilinear footprints.
+
+Density and appearance channels are concatenated before packing, so a full
+VM field evaluation is 3 plane rows + 3 line rows per sample — a 6x row
+reduction. Packing is pure shifted-slice concatenation: cheap, jit-inlined,
+and differentiable (its transpose is the scatter-add XLA derives
+automatically).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _shift(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """arr shifted by -1 along axis with edge clamp (x+1 neighbor)."""
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(1, None)
+    shifted = arr[tuple(idx)]
+    last = [slice(None)] * arr.ndim
+    last[axis] = slice(-1, None)
+    return jnp.concatenate([shifted, arr[tuple(last)]], axis=axis)
+
+
+def pack_plane(plane: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] -> [H*W, 4C] footprint rows (order: 00, 01, 10, 11)."""
+    h, w, c = plane.shape
+    p01 = _shift(plane, 1)
+    p10 = _shift(plane, 0)
+    p11 = _shift(p01, 0)
+    return jnp.concatenate([plane, p01, p10, p11], axis=-1).reshape(
+        h * w, 4 * c
+    )
+
+
+def pack_line(line: jnp.ndarray) -> jnp.ndarray:
+    """[L, C] -> [L, 2C] footprint rows (z, z+1)."""
+    return jnp.concatenate([line, _shift(line, 0)], axis=-1)
+
+
+def pack_volume(volume: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[D, H, W] -> [D*H*W, 8] trilinear footprint rows
+    (order: 000, 001, 010, 011, 100, 101, 110, 111 over (z, y, x) shifts)."""
+    d, h, w = volume.shape
+    v = volume[..., None]
+    parts = []
+    for dz in (0, 1):
+        vz = _shift(v, 0) if dz else v
+        for dy in (0, 1):
+            vy = _shift(vz, 1) if dy else vz
+            for dx in (0, 1):
+                parts.append(_shift(vy, 2) if dx else vy)
+    return jnp.concatenate(parts, axis=-1).reshape(d * h * w, 8).astype(dtype)
+
+
+def _pix(g, size: int):
+    return (g + 1.0) * 0.5 * (size - 1)
+
+
+def _corner_weights(p, size: int):
+    """-> (row base index, corner-0 weight, corner-1 weight) implementing
+    zeros padding. Packed row ``b`` holds texels (b, b+1); when the true
+    floor index is -1 the base clamps to 0 and texel 0's weight must move
+    into corner slot 0 (the corner/texel correspondence shifts by one)."""
+    i0 = jnp.floor(p).astype(jnp.int32)
+    frac = p - i0
+    w_texel0 = (1.0 - frac) * ((i0 >= 0) & (i0 <= size - 1))
+    w_texel1 = frac * ((i0 + 1 >= 0) & (i0 + 1 <= size - 1))
+    shifted = i0 < 0
+    w_c0 = jnp.where(shifted, w_texel1, w_texel0)
+    w_c1 = jnp.where(shifted, 0.0, w_texel1)
+    return jnp.clip(i0, 0, size - 1), w_c0, w_c1
+
+
+def packed_bilerp(packed: jnp.ndarray, h: int, w: int, c: int,
+                  coords: jnp.ndarray) -> jnp.ndarray:
+    """One-row bilinear sample with torch grid_sample semantics
+    (align_corners=True, zeros padding).
+
+    packed: [H*W, 4C] from pack_plane; coords [..., 2] in [-1, 1] (x, y).
+    Returns [..., C]."""
+    px = _pix(coords[..., 0], w)
+    py = _pix(coords[..., 1], h)
+    x0, wx0, wx1 = _corner_weights(px, w)
+    y0, wy0, wy1 = _corner_weights(py, h)
+
+    rows = jnp.take(packed, y0 * w + x0, axis=0)  # [..., 4C]
+    f00 = rows[..., 0 * c:1 * c]
+    f01 = rows[..., 1 * c:2 * c]
+    f10 = rows[..., 2 * c:3 * c]
+    f11 = rows[..., 3 * c:4 * c]
+
+    return (
+        f00 * (wx0 * wy0)[..., None]
+        + f01 * (wx1 * wy0)[..., None]
+        + f10 * (wx0 * wy1)[..., None]
+        + f11 * (wx1 * wy1)[..., None]
+    )
+
+
+def packed_lerp(packed: jnp.ndarray, l: int, c: int,
+                coords: jnp.ndarray) -> jnp.ndarray:
+    """One-row linear sample. packed: [L, 2C] from pack_line;
+    coords [...] in [-1, 1]. Returns [..., C]."""
+    p = _pix(coords, l)
+    z0, w0, w1 = _corner_weights(p, l)
+    rows = jnp.take(packed, z0, axis=0)
+    return rows[..., :c] * w0[..., None] + rows[..., c:] * w1[..., None]
+
+
+def packed_trilerp(packed: jnp.ndarray, d: int, h: int, w: int,
+                   coords: jnp.ndarray) -> jnp.ndarray:
+    """One-row trilinear sample of a scalar volume. packed: [D*H*W, 8]
+    from pack_volume; coords [..., 3] (x, y, z) in [-1, 1]. Returns [...]."""
+    px = _pix(coords[..., 0], w)
+    py = _pix(coords[..., 1], h)
+    pz = _pix(coords[..., 2], d)
+    x0, wx0, wx1 = _corner_weights(px, w)
+    y0, wy0, wy1 = _corner_weights(py, h)
+    z0, wz0, wz1 = _corner_weights(pz, d)
+
+    rows = jnp.take(packed, (z0 * h + y0) * w + x0, axis=0)  # [..., 8]
+    wx = jnp.stack([wx0, wx1], -1)                           # [..., 2]
+    wy = jnp.stack([wy0, wy1], -1)
+    wz = jnp.stack([wz0, wz1], -1)
+    weights = (
+        wz[..., :, None, None] * wy[..., None, :, None]
+        * wx[..., None, None, :]
+    ).reshape(rows.shape)
+    return jnp.sum(rows * weights, axis=-1)

@@ -98,7 +98,7 @@ def evaluation(dataset, config: FieldConfig, params, mask: AlphaMask | None,
                save_path: str | None = None, N_vis: int = 5, prtx: str = "",
                n_samples: int = -1, white_bg: bool = False,
                ndc_ray: bool = False, compute_extra_metrics: bool = True,
-               chunk: int = 4096, mesh=None):
+               chunk: int = 16384, mesh=None):
     """Held-out-view evaluation: renders every selected test image, computes
     PSNR (always) and SSIM/LPIPS (optional), saves PNG/mp4 artifacts
     (reference renderer.py:28-140). Returns the list of per-image PSNRs."""

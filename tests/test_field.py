@@ -271,3 +271,37 @@ def test_init_field_shapes_and_render_jit():
     )
     rgb, depth, acc, *_ = fn(params, rays, jax.random.PRNGKey(1))
     assert rgb.shape == (32, 3) and np.isfinite(np.asarray(rgb)).all()
+
+
+def test_fused_features_match_separate():
+    """compute_features_fused (packed one-row gathers) must equal the
+    separate density/app evaluations."""
+    from iffnerf_tpu.models.field import compute_features_fused
+
+    cfg = FieldConfig(grid_size=(16, 17, 18), density_n_comp=(2, 3, 4),
+                      app_n_comp=(3, 4, 5), app_dim=9, shading_mode="Ref",
+                      feature_c=16, view_pe=2, fea_pe=2, pos_pe=2)
+    params = init_field(jax.random.PRNGKey(2), cfg)
+    xyz = jnp.asarray(RNG.uniform(-1.15, 1.15, (333, 3)).astype(np.float32))
+
+    sigma_f, app_f = compute_features_fused(cfg, params, xyz)
+    sigma_s = compute_densityfeature(cfg, params, xyz)
+    app_s = compute_appfeature(cfg, params, xyz)
+    np.testing.assert_allclose(np.asarray(sigma_f), np.asarray(sigma_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(app_f), np.asarray(app_s),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packed_trilerp_matches_grid_sample_3d():
+    from iffnerf_tpu.models.field import make_alpha_mask
+    from iffnerf_tpu.ops.grid_sample import grid_sample_3d
+
+    vol = jnp.asarray(
+        (RNG.uniform(0, 1, (9, 11, 13)) > 0.5).astype(np.float32)
+    )
+    mask = make_alpha_mask(vol, np.array([[-1.0, -1, -1], [1, 1, 1]]))
+    xyz = jnp.asarray(RNG.uniform(-1.2, 1.2, (257, 3)).astype(np.float32))
+    ours = np.asarray(sample_alpha(mask, xyz))
+    ref = np.asarray(grid_sample_3d(vol, xyz * 1.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
