@@ -113,6 +113,8 @@ def build_argparse() -> argparse.ArgumentParser:
     parser.add_argument("--update_AlphaMask_list", type=int, action="append")
 
     parser.add_argument("--idx_view", type=int, default=0)
+    # TPU-build extra: device-resident multi-step training (lax.scan chunks)
+    parser.add_argument("--train_scan", type=int, default=0)
     parser.add_argument("--N_vis", type=int, default=5)
     parser.add_argument("--vis_every", type=int, default=10000)
     return parser

@@ -153,6 +153,94 @@ def make_train_step(config: FieldConfig, tx, *, has_mask: bool,
     return step
 
 
+def make_train_scan(config: FieldConfig, tx, *, has_mask: bool,
+                    n_samples: int, ndc_ray: bool, ortho_weight: float,
+                    use_l1: bool, use_tv_density: bool, use_tv_app: bool,
+                    rgb_channels: int, batch_size: int, steps_per_call: int,
+                    lr_factor: float, bg_mode: str):
+    """Device-resident multi-step training: ``steps_per_call`` optimizer
+    steps as ONE ``lax.scan`` inside one jit — zero host round trips between
+    steps (the TPU-native answer to the reference's per-iteration
+    ``.to(device)`` staging, train.py:262-349).
+
+    Deviations from the single-step path, by design: batch indices are drawn
+    with replacement via jax.random (the host path keeps the reference's
+    epoch-permutation sampler), and the TV weights decay inside the carry.
+
+    Returns run(params, opt_state[, mask], all_rays, all_rgbs, key, weights)
+    -> (params, opt_state, weights, mse_trace [steps])."""
+
+    def loss_fn(params, mask, rays, rgbs, key, bg_color, weights):
+        rgb_map, depth, acc, alpha, z_vals, dists = render_rays(
+            config, params, mask, rays, key=key, is_train=True,
+            bg_color=bg_color, ndc_ray=ndc_ray, n_samples=n_samples,
+        )
+        if rgb_channels > 3:
+            rgbs = jnp.clip(
+                rgbs[..., :3] * rgbs[..., -1:] + bg_color * (1 - rgbs[..., -1:]),
+                0.0, 1.0,
+            )
+        mse = jnp.mean((rgb_map - rgbs) ** 2)
+        total = mse
+        if ortho_weight > 0:
+            total = total + ortho_weight * vector_comp_diffs(config, params)
+        if use_l1:
+            total = total + weights["l1"] * density_l1(config, params)
+        if use_tv_density:
+            total = total + weights["tv_d"] * tv_loss_density(config, params)
+        if use_tv_app:
+            total = total + weights["tv_a"] * tv_loss_app(config, params)
+        total = total + 0.1 * jnp.mean(jnp.exp(jnp.abs(alpha)))
+        return total, mse
+
+    def scan_body(mask, all_rays, all_rgbs, carry, _):
+        params, opt_state, weights, key = carry
+        key, k_idx, k_step, k_bg = jax.random.split(key, 4)
+        idx = jax.random.randint(
+            k_idx, (batch_size,), 0, all_rays.shape[0]
+        )
+        rays = jnp.take(all_rays, idx, axis=0)
+        rgbs = jnp.take(all_rgbs, idx, axis=0)
+        if bg_mode == "random":
+            bg = jax.random.uniform(k_bg, (3,))
+        elif bg_mode == "white":
+            bg = jnp.ones(3)
+        else:
+            bg = jnp.zeros(3)
+        weights = {
+            "l1": weights["l1"],
+            "tv_d": weights["tv_d"] * lr_factor,
+            "tv_a": weights["tv_a"] * lr_factor,
+        }
+        (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mask, rays, rgbs, k_step, bg, weights
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, weights, key), mse
+
+    if has_mask:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(params, opt_state, mask, all_rays, all_rgbs, key, weights):
+            body = functools.partial(scan_body, mask, all_rays, all_rgbs)
+            (params, opt_state, weights, _), mses = jax.lax.scan(
+                body, (params, opt_state, weights, key),
+                jnp.arange(steps_per_call),
+            )
+            return params, opt_state, weights, mses
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(params, opt_state, all_rays, all_rgbs, key, weights):
+            body = functools.partial(scan_body, None, all_rays, all_rgbs)
+            (params, opt_state, weights, _), mses = jax.lax.scan(
+                body, (params, opt_state, weights, key),
+                jnp.arange(steps_per_call),
+            )
+            return params, opt_state, weights, mses
+
+    return run
+
+
 def filtering_rays_host(config: FieldConfig, all_rays: np.ndarray,
                         all_rgbs: np.ndarray, mask=None,
                         n_samples: int = 256, chunk: int = 51200,
@@ -316,32 +404,86 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     params = state.params
     opt_state = state.opt_state
 
+    # device-resident multi-step mode (--train_scan 1): lax.scan chunks
+    # between host events instead of one dispatch per iteration
+    train_scan = bool(int(getattr(args, "train_scan", 0) or 0))
+    scan_cache: dict = {}
+
+    def build_scan(steps):
+        if steps not in scan_cache:
+            scan_cache[steps] = make_train_scan(
+                config, state.tx, has_mask=mask is not None,
+                n_samples=n_samples, ndc_ray=ndc_ray,
+                ortho_weight=args.Ortho_weight,
+                use_l1=(args.L1_weight_inital > 0 or args.L1_weight_rest > 0),
+                use_tv_density=args.TV_weight_density > 0,
+                use_tv_app=args.TV_weight_app > 0,
+                rgb_channels=rgb_channels, batch_size=batch_size,
+                steps_per_call=steps, lr_factor=lr_factor, bg_mode=bg_mode,
+            )
+        return scan_cache[steps]
+
+    boundaries = sorted(
+        set(update_mask_list) | set(upsample_list)
+        | set(range(args.progress_refresh_rate, args.n_iters + 1,
+                    args.progress_refresh_rate))
+        | (set(range(args.vis_every, args.n_iters + 1, args.vis_every))
+           if args.N_vis != 0 else set())
+        | {args.n_iters}
+    )
+
     writer = make_summary_writer(logfolder)
     psnrs, psnrs_test = [], [0.0]
     t_start = time.perf_counter()
-    for it in range(args.n_iters):
-        idx = jnp.asarray(sampler.nextids())
-        key, step_key, bg_key = jax.random.split(key, 3)
-        if bg_mode == "random":
-            bg_color = jax.random.uniform(bg_key, (3,))
+    it = -1
+    while it + 1 < args.n_iters:
+        if train_scan:
+            next_stop = min(b for b in boundaries if b > it + 1)
+            steps = next_stop - (it + 1)
+            key, scan_key = jax.random.split(key)
+            weights = {
+                "l1": jnp.float32(l1_weight),
+                "tv_d": jnp.float32(tv_d),
+                "tv_a": jnp.float32(tv_a),
+            }
+            run = build_scan(steps)
+            if mask is not None:
+                params, opt_state, weights, mses = run(
+                    params, opt_state, mask, rays_dev, rgbs_dev, scan_key,
+                    weights,
+                )
+            else:
+                params, opt_state, weights, mses = run(
+                    params, opt_state, rays_dev, rgbs_dev, scan_key, weights,
+                )
+            tv_d = tv_d * lr_factor ** steps
+            tv_a = tv_a * lr_factor ** steps
+            mse = mses[-1]
+            it += steps
         else:
-            bg_color = jnp.ones(3) if bg_mode == "white" else jnp.zeros(3)
-        tv_d, tv_a = tv_d * lr_factor, tv_a * lr_factor
-        weights = {
-            "l1": jnp.float32(l1_weight),
-            "tv_d": jnp.float32(tv_d),
-            "tv_a": jnp.float32(tv_a),
-        }
-        if mask is not None:
-            params, opt_state, mse = step_fn(
-                params, opt_state, mask, rays_dev, rgbs_dev, idx, step_key,
-                bg_color, weights,
-            )
-        else:
-            params, opt_state, mse = step_fn(
-                params, opt_state, rays_dev, rgbs_dev, idx, step_key,
-                bg_color, weights,
-            )
+            it += 1
+            idx = jnp.asarray(sampler.nextids())
+            key, step_key, bg_key = jax.random.split(key, 3)
+            if bg_mode == "random":
+                bg_color = jax.random.uniform(bg_key, (3,))
+            else:
+                bg_color = jnp.ones(3) if bg_mode == "white" else jnp.zeros(3)
+            tv_d, tv_a = tv_d * lr_factor, tv_a * lr_factor
+            weights = {
+                "l1": jnp.float32(l1_weight),
+                "tv_d": jnp.float32(tv_d),
+                "tv_a": jnp.float32(tv_a),
+            }
+            if mask is not None:
+                params, opt_state, mse = step_fn(
+                    params, opt_state, mask, rays_dev, rgbs_dev, idx,
+                    step_key, bg_color, weights,
+                )
+            else:
+                params, opt_state, mse = step_fn(
+                    params, opt_state, rays_dev, rgbs_dev, idx, step_key,
+                    bg_color, weights,
+                )
 
         if (it + 1) % args.progress_refresh_rate == 0:
             m = float(mse)
@@ -397,6 +539,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 rays_dev = jnp.asarray(allrays)
                 rgbs_dev = jnp.asarray(allrgbs)
             step_fn = build_step()
+            scan_cache.clear()
 
         if it + 1 in upsample_list:
             n_voxels = n_voxel_list.pop(0)
@@ -412,6 +555,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                                    args.lr_basis * lr_scale, lr_factor)
             opt_state = state.opt_state
             step_fn = build_step()
+            scan_cache.clear()
 
     total_s = time.perf_counter() - t_start
     log_fn(f"total training time: {total_s:.1f}s "

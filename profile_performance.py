@@ -125,6 +125,32 @@ def main():
     step_ms = float(np.median(ts))
     print(f"train step (fwd+bwd+adam): {step_ms:.3f} ms")
 
+    # ---- device-resident scan (no host round trips between steps) ----
+    from iffnerf_tpu.train.trainer import make_train_scan
+
+    scan_steps = 50
+    run_scan = make_train_scan(
+        config, state.tx, has_mask=False, n_samples=n_samples, ndc_ray=False,
+        ortho_weight=0.0, use_l1=True, use_tv_density=False,
+        use_tv_app=False, rgb_channels=4, batch_size=n,
+        steps_per_call=scan_steps, lr_factor=0.9999, bg_mode="white",
+    )
+    w0 = {"l1": jnp.float32(8e-5), "tv_d": jnp.float32(0),
+          "tv_a": jnp.float32(0)}
+    p2, o2 = params, make_optimizer(params, args.lr_init, args.lr_basis,
+                                    0.9999).opt_state
+    p2, o2, w1, mses = run_scan(p2, o2, rays, rgbs, jax.random.PRNGKey(2), w0)
+    float(mses[-1])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p2, o2, w1, mses = run_scan(p2, o2, rays, rgbs,
+                                    jax.random.PRNGKey(3), w1)
+        float(mses[-1])
+        ts.append((time.perf_counter() - t0) / scan_steps * 1000.0)
+    print(f"train step (scan x{scan_steps}, device-resident): "
+          f"{float(np.median(ts)):.3f} ms/it")
+
     if args.trace:
         with jax.profiler.trace(args.trace):
             for _ in range(5):

@@ -138,3 +138,62 @@ def test_explore_and_pose_estimation(trained_field):
     assert np.asarray(row["pred_c2w"]).shape == (4, 4)
     assert np.isfinite(avg_t) and np.isfinite(avg_a)
     assert 0.0 <= avg_recall <= 1.0
+
+
+def test_inerf_refinement_improves_pose(trained_field):
+    """iNeRF on-device scan: refining a perturbed pose reduces both errors
+    (reference inerf/estimate_pose_inerf.py semantics)."""
+    from iffnerf_tpu.data import load_blender
+    from iffnerf_tpu.inerf import estimate_pose_inerf
+    from iffnerf_tpu.pose.geometry import (
+        compute_angular_error,
+        compute_translation_error,
+    )
+
+    scene, config, params, mask = trained_field
+    ds = load_blender(scene, split="test", is_stack=True)
+    gt = np.asarray(ds.poses[0])
+    h, w = ds.img_wh[1], ds.img_wh[0]
+    obs = np.asarray(ds.all_rgbs[0]).reshape(h, w, 4)
+
+    # perturb: 12 degrees about z + small translation
+    ang = np.deg2rad(12.0)
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, :3] = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1]], np.float32,
+    )
+    start = rot @ gt
+    start[:3, 3] += 0.15
+
+    def errs(pose):
+        return (
+            float(compute_translation_error(jnp.asarray(gt[:3, 3]),
+                                            jnp.asarray(pose[:3, 3]))),
+            float(compute_angular_error(jnp.asarray(gt[:3, :3]),
+                                        jnp.asarray(pose[:3, :3]))),
+        )
+
+    t0, a0 = errs(start)
+    _, refined, _ = estimate_pose_inerf(
+        start, obs, np.asarray(ds.K[0]), config, params, mask,
+        sampling_strategy="random", n_iters=150, batch_size=512,
+        color_bkgd_aug="white", seed=3,
+    )
+    t1, a1 = errs(refined)
+    assert t1 < t0 * 0.7, (t0, t1)
+    assert a1 < a0 * 0.7, (a0, a1)
+
+
+def test_mesh_export_from_trained_field(trained_field, tmp_path):
+    from iffnerf_tpu.utils.mesh import export_mesh_from_field
+
+    scene, config, params, mask = trained_field
+    path = str(tmp_path / "field.ply")
+    export_mesh_from_field(config, params, mask, path, level=0.005)
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"ply")
+    import re
+
+    n_verts = int(re.search(rb"element vertex (\d+)", raw).group(1))
+    assert n_verts > 100
