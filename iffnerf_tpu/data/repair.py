@@ -19,6 +19,7 @@ import numpy as np
 
 from iffnerf_tpu.data.base import RayDataset, load_image, stack_or_flatten
 from iffnerf_tpu.data.metashape import load_cameras_xml
+from iffnerf_tpu.data.spiral import create_spiral
 from iffnerf_tpu.data.rays_np import ray_directions_Ks_np, rays_with_radii_np
 
 VAL_SPLIT_EVERY = 10
@@ -82,10 +83,15 @@ def load_repair(datadir: str, split: str = "train", downsample: float = 1.0,
         )
 
     all_rays, all_rgbs = stack_or_flatten(rays_list, rgbs_list, is_stack)
+    scene_bbox = np.array([[-1.0, -1.0, 0.0], [1.0, 1.0, 1.0]], np.float32)
+    poses_np = np.stack(poses)
+    up = poses_np[:, :3, 1].sum(0)
+    up = up / np.linalg.norm(up)
     return RayDataset(
-        all_rays=all_rays, all_rgbs=all_rgbs, poses=np.stack(poses),
+        all_rays=all_rays, all_rgbs=all_rgbs, poses=poses_np,
         K=cameras["Ks"][sel[0]][None].astype(np.float32),
-        scene_bbox=np.array([[-1.0, -1.0, 0.0], [1.0, 1.0, 1.0]], np.float32),
+        scene_bbox=scene_bbox,
         near_far=(0.1, 1.8), white_bg=True, img_wh=img_wh,
         is_stack=is_stack, split=split, downsample=downsample,
+        render_path=create_spiral(scene_bbox, up, invert_z=False),
     )

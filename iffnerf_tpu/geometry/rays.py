@@ -175,3 +175,81 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_g0) / denom
     return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def depth2dist(z_vals, cos_angle):
+    """(reference dataLoader/ray_utils.py:10-18)"""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    return dists * cos_angle[..., None]
+
+
+def ndc2dist(ndc_pts, cos_angle):
+    """(reference dataLoader/ray_utils.py:21-26)"""
+    dists = jnp.linalg.norm(ndc_pts[:, 1:] - ndc_pts[:, :-1], axis=-1)
+    return jnp.concatenate([dists, 1e10 * cos_angle[..., None]], axis=-1)
+
+
+def dda(rays_o, rays_d, bbox_3d):
+    """AABB entry/exit per ray (reference dataLoader/ray_utils.py:200-207)."""
+    inv_d = 1.0 / (rays_d + 1e-6)
+    t_min = (bbox_3d[:1] - rays_o) * inv_d
+    t_max = (bbox_3d[1:] - rays_o) * inv_d
+    t = jnp.stack([t_min, t_max])
+    near = jnp.max(jnp.min(t, axis=0), axis=-1, keepdims=True)
+    far = jnp.min(jnp.max(t, axis=0), axis=-1, keepdims=True)
+    return near, far
+
+
+def ray_marcher(rays, n_samples: int = 64, lindisp: bool = False,
+                perturb: float = 0.0, bbox_3d=None, key=None):
+    """Near/far-carrying ray sampler (reference dataLoader/ray_utils.py:210-253).
+    rays [N, 8] = (ori, dir, near, far)."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    if bbox_3d is not None:
+        near, far = dda(rays_o, rays_d, bbox_3d)
+    z_steps = jnp.linspace(0.0, 1.0, n_samples, dtype=rays.dtype)
+    if not lindisp:
+        z_vals = near * (1 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (rays.shape[0], n_samples))
+    if perturb > 0:
+        assert key is not None
+        mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mid, z_vals[:, -1:]], -1)
+        lower = jnp.concatenate([z_vals[:, :1], mid], -1)
+        z_vals = lower + (upper - lower) * perturb * jax.random.uniform(
+            key, z_vals.shape, rays.dtype
+        )
+    xyz = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    return xyz, rays_o, rays_d, z_vals
+
+
+def read_pfm(filename: str):
+    """PFM depth reader (reference dataLoader/ray_utils.py:256-291)."""
+    import re
+
+    import numpy as np
+
+    with open(filename, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        if header == "PF":
+            color = True
+        elif header == "Pf":
+            color = False
+        else:
+            raise ValueError("Not a PFM file.")
+        dims = re.match(r"^(\d+)\s(\d+)\s$", f.readline().decode("utf-8"))
+        if not dims:
+            raise ValueError("Malformed PFM header.")
+        width, height = map(int, dims.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        scale = abs(scale)
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape)), scale

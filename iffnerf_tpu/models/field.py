@@ -550,3 +550,18 @@ def update_alpha_mask(config: FieldConfig, params, mask: AlphaMask | None,
         new_aabb = np.stack([valid.min(0), valid.max(0)])
     occupancy = float(vol_np.sum() / vol_np.size)
     return new_mask, new_aabb, occupancy
+
+
+def power_transformation_inv(center_metric: jnp.ndarray,
+                             alpha: float = -1.5) -> jnp.ndarray:
+    """Inverse of the Zip-NeRF power contraction
+    (reference utils.py:150-163)."""
+    negate_alpha = math.fabs(alpha - 1)
+    return (
+        jnp.sign(center_metric)
+        * (jnp.power(
+            (alpha * jnp.abs(center_metric) + negate_alpha) / negate_alpha,
+            1.0 / alpha,
+        ) - 1.0)
+        * negate_alpha
+    )

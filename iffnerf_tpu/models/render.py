@@ -219,3 +219,23 @@ def filtering_rays_bbox(config: FieldConfig, rays: jnp.ndarray) -> jnp.ndarray:
     aabb = jnp.asarray(config.aabb_np)
     t_min, t_max = _aabb_t_range(aabb, rays[..., :3], rays[..., 3:6])
     return t_max > t_min
+
+
+def sample_ray_infinity(config: FieldConfig, rays_o, rays_d, *, key=None,
+                        is_train: bool = True, n_samples: int = -1):
+    """Inverse-depth sampling to infinity (reference tensorBase.py:473-492)."""
+    n = n_samples if n_samples > 0 else config.n_samples
+    near, far = config.near_far
+    aabb = jnp.asarray(config.aabb_np)
+    interpx = jnp.linspace(1.0 / near, 1e-7, n, dtype=rays_o.dtype)[None, :]
+    if is_train:
+        assert key is not None
+        interpx = jnp.clip(
+            interpx + jax.random.uniform(key, (rays_o.shape[0], n),
+                                         rays_o.dtype) / n,
+            1e-8, 1.0,
+        )
+    t = 1.0 / (1.0 - interpx)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    valid = ~jnp.any((aabb[0] > xyz) | (xyz > aabb[1]), axis=-1)
+    return xyz, interpx, valid
