@@ -1,0 +1,63 @@
+"""Sharded execution tests on the 8-device virtual CPU mesh (SURVEY.md §5):
+mesh-sharded rendering matches single-device output, and the full training
+step executes under ray-axis sharding."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iffnerf_tpu.models import FieldConfig, init_field
+from iffnerf_tpu.parallel import make_mesh
+from iffnerf_tpu.render import render_chunked
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def small_field():
+    cfg = FieldConfig(grid_size=(16, 16, 16), density_n_comp=(4, 4, 4),
+                      app_n_comp=(8, 8, 8), app_dim=9, shading_mode="Ref",
+                      feature_c=16, view_pe=2, fea_pe=2, step_ratio=1.0)
+    params = init_field(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _rays(n):
+    rays_o = RNG.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = RNG.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return np.concatenate([rays_o, d, 0.01 * np.ones((n, 1), np.float32)], -1)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single(small_field):
+    cfg, params = small_field
+    rays = _rays(1000)  # non-multiple of 8 exercises padding
+    mesh = make_mesh()
+
+    rgb1, depth1 = render_chunked(cfg, params, None, rays, chunk=512,
+                                  n_samples=16, white_bg=True)
+    rgb2, depth2 = render_chunked(cfg, params, None, rays, chunk=512,
+                                  n_samples=16, white_bg=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth1), np.asarray(depth2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dryrun_multichip_trains():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
