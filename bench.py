@@ -28,10 +28,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("IFFNERF_PLATFORM"):
-    import jax
+from iffnerf_tpu.runtime import setup as _runtime_setup
 
-    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+_runtime_setup()
 
 
 def _median_time(fn, reps: int = 5) -> float:
@@ -56,7 +55,7 @@ def main():
     n_rays = 20000 * 27  # reference scale: 20k surface points x 27 isocell
     k_top = 100
     K = 16  # estimates per compiled program
-    cfg = IDConfig()
+    cfg = IDConfig(compute_dtype="bfloat16")  # inference path: bf16 matmuls
     key = jax.random.PRNGKey(0)
     params = init_id_module(key, cfg)
 

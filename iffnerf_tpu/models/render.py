@@ -117,6 +117,49 @@ def compute_alpha(config: FieldConfig, params, mask: AlphaMask | None,
     return 1.0 - jnp.exp(-sigma * length)
 
 
+def _compact_fused_features(config: FieldConfig, params, coords, valid):
+    """Feature evaluation restricted to alpha-mask-valid samples.
+
+    Valid sample indices are compacted into a buffer of
+    ``ceil(compact_ratio * N)`` slots (jnp.nonzero with static size),
+    features are evaluated for the buffer only, and scattered back; invalid
+    samples get exact zeros (they are where-masked downstream anyway,
+    reference tensorBase.py:839-846). If more samples are valid than the
+    buffer holds, a lax.cond falls back to the dense path — results are
+    exact either way."""
+    shape = coords.shape[:-1]
+    coords_f = coords.reshape(-1, 3)
+    valid_f = valid.reshape(-1)
+    n = valid_f.shape[0]
+    k = max(((int(n * config.compact_ratio) + 127) // 128) * 128, 128)
+    k = min(k, n)
+    app_dim = config.app_dim
+
+    count = jnp.sum(valid_f)
+
+    def compact(_):
+        (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
+        cc = jnp.take(coords_f, jnp.minimum(idx, n - 1), axis=0)
+        sig_k, app_k = compute_features_fused(config, params, cc)
+        scatter_idx = jnp.minimum(idx, n)  # padded slots -> dropped row n
+        sig = jnp.zeros((n + 1,), sig_k.dtype).at[scatter_idx].set(
+            sig_k, mode="drop"
+        )[:n]
+        app = jnp.zeros((n + 1, app_dim), app_k.dtype).at[scatter_idx].set(
+            app_k, mode="drop"
+        )[:n]
+        return sig, app
+
+    def dense(_):
+        return compute_features_fused(config, params, coords_f)
+
+    if k >= n:
+        sig, app = dense(None)
+    else:
+        sig, app = jax.lax.cond(count <= k, compact, dense, None)
+    return sig.reshape(shape), app.reshape(shape + (app_dim,))
+
+
 def render_rays(
     config: FieldConfig,
     params,
@@ -175,7 +218,12 @@ def render_rays(
         ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
 
     coords = normalize_coord(config, xyz)
-    if config.use_fused_eval:
+    if (config.use_fused_eval and mask is not None
+            and config.compact_ratio > 0):
+        sigma_feature, app_features = _compact_fused_features(
+            config, params, coords, ray_valid
+        )
+    elif config.use_fused_eval:
         # fused one-row-per-plane gather path (compute_features_fused)
         sigma_feature, app_features = compute_features_fused(
             config, params, coords

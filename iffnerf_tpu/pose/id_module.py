@@ -41,6 +41,11 @@ class IDConfig:
     ray_rgb_pe: int = 6
     ray_feature_c: int = 256
     mask_threshold: float = 0.1
+    # matmul input dtype for the 540k-ray scoring path; the MXU accumulates
+    # in f32 either way, softmax/score sums stay f32. "bfloat16" halves the
+    # HBM traffic of the candidate-ray matmuls at negligible score error —
+    # use it for inference (bench.py does); training keeps float32.
+    compute_dtype: str = "float32"
 
     @property
     def img_num_features(self) -> int:
@@ -157,19 +162,25 @@ def image_features(params, config: IDConfig, img: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _cast_linear(layer, dtype):
+    return {k: v.astype(dtype) for k, v in layer.items()}
+
+
 def ray_features(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
-    """Skip-MLP ray embedding (ray_preprocessor.py:29-39)."""
+    """Skip-MLP ray embedding (ray_preprocessor.py:29-39). Runs in
+    ``config.compute_dtype`` (bf16 by default on the 540k-ray hot path)."""
+    dt = jnp.dtype(config.compute_dtype)
     indata = [rays_ori, rays_dir, rays_rgb,
               positional_encoding(rays_ori, config.ray_pos_pe),
               positional_encoding(rays_dir, config.ray_view_pe),
               positional_encoding(rays_rgb, config.ray_rgb_pe)]
-    x = jnp.concatenate(indata, axis=-1)
+    x = jnp.concatenate(indata, axis=-1).astype(dt)
     h = x
     for layer in params["ray_mlp"]:
-        h = jax.nn.relu(linear_apply(layer, h))
+        h = jax.nn.relu(linear_apply(_cast_linear(layer, dt), h))
     h = jnp.concatenate([h, x], axis=-1)
-    h = jax.nn.relu(linear_apply(params["ray_mlp2"][0], h))
-    return linear_apply(params["ray_mlp2"][1], h)
+    h = jax.nn.relu(linear_apply(_cast_linear(params["ray_mlp2"][0], dt), h))
+    return linear_apply(_cast_linear(params["ray_mlp2"][1], dt), h)
 
 
 def run_attention(params, config: IDConfig, img, mask, rays_ori, rays_dir,
@@ -180,9 +191,14 @@ def run_attention(params, config: IDConfig, img, mask, rays_ori, rays_dir,
     feats_w_pe, patch_valid, feats = image_features(params, config, img, mask)
     feats_rays = ray_features(params, config, rays_ori, rays_dir, rays_rgb)
 
-    q = linear_apply(params["q_proj"], feats_w_pe)     # [P, D]
-    k = linear_apply(params["k_proj"], feats_rays)     # [R, D]
-    logits = (q @ k.T) / math.sqrt(q.shape[-1])        # [P, R]
+    dt = jnp.dtype(config.compute_dtype)
+    q = linear_apply(_cast_linear(params["q_proj"], dt),
+                     feats_w_pe.astype(dt))             # [P, D]
+    k = linear_apply(_cast_linear(params["k_proj"], dt),
+                     feats_rays.astype(dt))             # [R, D]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(
+        q.shape[-1]
+    )                                                   # [P, R] f32
     attention = jax.nn.softmax(logits, axis=-1)
     scores = jnp.sum(
         jnp.where(patch_valid[:, None], attention, 0.0), axis=0

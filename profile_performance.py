@@ -16,10 +16,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("IFFNERF_PLATFORM"):
-    import jax
+from iffnerf_tpu.runtime import setup as _runtime_setup
 
-    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+_runtime_setup()
 
 from iffnerf_tpu.config import config_parser
 
@@ -112,7 +111,10 @@ def main():
         return step_fn(p, o, rays, rgbs, idx, jax.random.PRNGKey(1),
                        jnp.ones(3), weights)
 
-    p, o = params, state.opt_state
+    # donate_argnums consumes its inputs -> hand the step copies so `params`
+    # stays alive for the scan section below
+    p = jax.tree.map(jnp.array, params)
+    o = state.opt_state
     p, o, _ = run_step(p, o)  # warm/compile
 
     ts = []
@@ -137,8 +139,9 @@ def main():
     )
     w0 = {"l1": jnp.float32(8e-5), "tv_d": jnp.float32(0),
           "tv_a": jnp.float32(0)}
-    p2, o2 = params, make_optimizer(params, args.lr_init, args.lr_basis,
-                                    0.9999).opt_state
+    # donate_argnums consumes its inputs -> hand the scan copies
+    p2 = jax.tree.map(jnp.array, params)
+    o2 = make_optimizer(params, args.lr_init, args.lr_basis, 0.9999).opt_state
     p2, o2, w1, mses = run_scan(p2, o2, rays, rgbs, jax.random.PRNGKey(2), w0)
     float(mses[-1])
     ts = []

@@ -305,3 +305,34 @@ def test_packed_trilerp_matches_grid_sample_3d():
     ours = np.asarray(sample_alpha(mask, xyz))
     ref = np.asarray(grid_sample_3d(vol, xyz * 1.0))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_compacted_render_matches_dense():
+    """Masked-sample compaction (render._compact_fused_features) must be
+    exact, including the dense overflow fallback."""
+    from iffnerf_tpu.models.field import make_alpha_mask
+
+    cfg_base = dict(grid_size=(16, 17, 18), density_n_comp=(2, 3, 4),
+                    app_n_comp=(3, 4, 5), app_dim=9, shading_mode="Ref",
+                    feature_c=16, view_pe=2, fea_pe=2, pos_pe=2,
+                    fused_eval="on")
+    params = init_field(jax.random.PRNGKey(4), FieldConfig(**cfg_base))
+    # a mask with ~20% occupancy
+    vol = (RNG.uniform(0, 1, (9, 9, 9)) < 0.2).astype(np.float32)
+    mask = make_alpha_mask(jnp.asarray(vol),
+                           np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]]))
+
+    rays = RNG.standard_normal((64, 7)).astype(np.float32)
+    rays[:, :3] *= 3.0
+    rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+    rays = jnp.asarray(rays)
+
+    outs = {}
+    for ratio in (0.0, 0.5, 0.01):  # dense, compact, forced-overflow
+        cfg = FieldConfig(**cfg_base, compact_ratio=ratio)
+        outs[ratio] = render_rays(cfg, params, mask, rays, is_train=False,
+                                  white_bg=True)
+    for ratio in (0.5, 0.01):
+        for a, b in zip(outs[0.0], outs[ratio]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

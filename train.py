@@ -18,10 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The environment's sitecustomize force-registers the TPU plugin and latches
 # JAX_PLATFORMS before user code runs; this hook restores the standard env-var
 # behavior (IFFNERF_PLATFORM=cpu python train.py ... for host-only runs).
-if os.environ.get("IFFNERF_PLATFORM"):
-    import jax
+from iffnerf_tpu.runtime import setup as _runtime_setup
 
-    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+_runtime_setup()
 
 from iffnerf_tpu.config import config_parser
 

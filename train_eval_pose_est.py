@@ -18,10 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("IFFNERF_PLATFORM"):
-    import jax
+from iffnerf_tpu.runtime import setup as _runtime_setup
 
-    jax.config.update("jax_platforms", os.environ["IFFNERF_PLATFORM"])
+_runtime_setup()
 
 from iffnerf_tpu.config import config_parser
 
