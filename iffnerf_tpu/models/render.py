@@ -117,47 +117,103 @@ def compute_alpha(config: FieldConfig, params, mask: AlphaMask | None,
     return 1.0 - jnp.exp(-sigma * length)
 
 
-def _compact_fused_features(config: FieldConfig, params, coords, valid):
-    """Feature evaluation restricted to alpha-mask-valid samples.
+def _compact_march(config: FieldConfig, params, coords, ray_valid, dists):
+    """The volumetric march restricted to alpha-mask-valid samples.
 
-    Valid sample indices are compacted into a buffer of
-    ``ceil(compact_ratio * N)`` slots (jnp.nonzero with static size),
-    features are evaluated for the buffer only, and scattered back; invalid
-    samples get exact zeros (they are where-masked downstream anyway,
-    reference tensorBase.py:839-846). If more samples are valid than the
-    buffer holds, a lax.cond falls back to the dense path — results are
-    exact either way."""
-    shape = coords.shape[:-1]
+    Valid sample indices (sorted, from jnp.nonzero with a static
+    ``compact_ratio * N`` buffer) index a compacted feature evaluation; the
+    per-ray appearance accumulation is then done IN COMPACTED SPACE with a
+    cumulative sum + per-ray boundary differences (indices are sorted, so a
+    ray's slots are contiguous) — TPU row-scatters cost ~10x a gather, so
+    nothing wider than a scalar is ever scattered. Only sigma is scattered
+    back densely (a cheap scalar scatter) because the transmittance cumprod
+    (raw2alpha) wants the dense [N, S] layout.
+
+    Exact by construction: invalid samples contribute zeros exactly as the
+    dense path's where-masking does (reference tensorBase.py:839-851), and a
+    lax.cond falls back to the dense path when more samples are valid than
+    the buffer holds.
+
+    Returns (sigma [N,S], alpha [N,S], weight [N,S], acc [N],
+    cum_app [N, app_dim], rays_any [N])."""
+    n_rays, s = ray_valid.shape
     coords_f = coords.reshape(-1, 3)
-    valid_f = valid.reshape(-1)
+    valid_f = ray_valid.reshape(-1)
     n = valid_f.shape[0]
     k = max(((int(n * config.compact_ratio) + 127) // 128) * 128, 128)
     k = min(k, n)
     app_dim = config.app_dim
+    thres = config.ray_march_weight_thres
 
     count = jnp.sum(valid_f)
 
-    def compact(_):
-        (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
-        cc = jnp.take(coords_f, jnp.minimum(idx, n - 1), axis=0)
-        sig_k, app_k = compute_features_fused(config, params, cc)
-        scatter_idx = jnp.minimum(idx, n)  # padded slots -> dropped row n
-        sig = jnp.zeros((n + 1,), sig_k.dtype).at[scatter_idx].set(
-            sig_k, mode="drop"
-        )[:n]
-        app = jnp.zeros((n + 1, app_dim), app_k.dtype).at[scatter_idx].set(
-            app_k, mode="drop"
-        )[:n]
-        return sig, app
+    def finish_dense(sigma_feature, app_features):
+        sigma = jnp.where(
+            valid_f.reshape(n_rays, s),
+            feature2density(config, sigma_feature.reshape(n_rays, s)), 0.0,
+        )
+        alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
+        app_mask = weight > thres
+        app = jnp.where(
+            app_mask[..., None], app_features.reshape(n_rays, s, app_dim), 0.0
+        )
+        cum_app = jnp.einsum("nsa,ns->na", app, weight)
+        return (sigma, alpha, weight, jnp.sum(weight, -1), cum_app,
+                jnp.any(app_mask, -1))
 
     def dense(_):
-        return compute_features_fused(config, params, coords_f)
+        sig_f, app_f = compute_features_fused(config, params, coords_f)
+        return finish_dense(sig_f, app_f)
+
+    def compact(_):
+        (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
+        in_buf = idx < n
+        safe_idx = jnp.minimum(idx, n - 1)
+        cc = jnp.take(coords_f, safe_idx, axis=0)
+        sig_k, app_k = compute_features_fused(config, params, cc)
+
+        # dense sigma via scalar scatter (row n dropped by the slice)
+        sig_dense = jnp.zeros((n + 1,), sig_k.dtype).at[
+            jnp.where(in_buf, idx, n)
+        ].set(sig_k, mode="drop", unique_indices=True,
+              indices_are_sorted=True)[:n]
+        sigma = jnp.where(
+            valid_f.reshape(n_rays, s),
+            feature2density(config, sig_dense.reshape(n_rays, s)), 0.0,
+        )
+        alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
+
+        # back to compacted space: per-slot weight + threshold mask
+        w_k = jnp.take(weight.reshape(-1), safe_idx) * in_buf
+        m_k = (w_k > thres).astype(app_k.dtype)
+        contrib = app_k * (w_k * m_k)[:, None]          # [k, A]
+
+        # sorted-segment sums via cumsum + per-ray boundary gathers
+        csum = jnp.concatenate(
+            [jnp.zeros((1, app_dim), contrib.dtype),
+             jnp.cumsum(contrib, axis=0)], axis=0,
+        )                                               # [k+1, A]
+        mcount = jnp.concatenate(
+            [jnp.zeros((1,), m_k.dtype), jnp.cumsum(m_k)], axis=0
+        )
+        bounds = jnp.searchsorted(
+            idx, jnp.arange(n_rays + 1, dtype=idx.dtype) * s
+        )                                               # [N+1]
+        cum_app = jnp.take(csum, bounds[1:], axis=0) - jnp.take(
+            csum, bounds[:-1], axis=0
+        )
+        rays_any = (
+            jnp.take(mcount, bounds[1:]) - jnp.take(mcount, bounds[:-1])
+        ) > 0
+        return (sigma, alpha, weight, jnp.sum(weight, -1), cum_app, rays_any)
 
     if k >= n:
-        sig, app = dense(None)
-    else:
-        sig, app = jax.lax.cond(count <= k, compact, dense, None)
-    return sig.reshape(shape), app.reshape(shape + (app_dim,))
+        return dense(None)
+    # checkpoint: without it autodiff saves each branch's broadcast temps as
+    # residuals, which TPU tile-padding can inflate ~128x -> OOM
+    return jax.lax.cond(
+        count <= k, jax.checkpoint(compact), jax.checkpoint(dense), None
+    )
 
 
 def render_rays(
@@ -220,28 +276,32 @@ def render_rays(
     coords = normalize_coord(config, xyz)
     if (config.use_fused_eval and mask is not None
             and config.compact_ratio > 0):
-        sigma_feature, app_features = _compact_fused_features(
-            config, params, coords, ray_valid
-        )
-    elif config.use_fused_eval:
-        # fused one-row-per-plane gather path (compute_features_fused)
-        sigma_feature, app_features = compute_features_fused(
-            config, params, coords
+        (sigma, alpha, weight, acc_map, cum_app_features,
+         rays_to_consider) = _compact_march(
+            config, params, coords, ray_valid, dists
         )
     else:
-        sigma_feature = compute_densityfeature(config, params, coords)
-        app_features = compute_appfeature(config, params, coords)
-    sigma = jnp.where(ray_valid, feature2density(config, sigma_feature), 0.0)
+        if config.use_fused_eval:
+            # fused one-row-per-plane gather path (compute_features_fused)
+            sigma_feature, app_features = compute_features_fused(
+                config, params, coords
+            )
+        else:
+            sigma_feature = compute_densityfeature(config, params, coords)
+            app_features = compute_appfeature(config, params, coords)
+        sigma = jnp.where(
+            ray_valid, feature2density(config, sigma_feature), 0.0
+        )
 
-    alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
+        alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
 
-    app_mask = weight > config.ray_march_weight_thres
-    app_features = jnp.where(app_mask[..., None], app_features, 0.0)
+        app_mask = weight > config.ray_march_weight_thres
+        app_features = jnp.where(app_mask[..., None], app_features, 0.0)
 
-    acc_map = jnp.sum(weight, axis=-1)
-    cum_app_features = jnp.sum(weight[..., None] * app_features, axis=-2)
+        acc_map = jnp.sum(weight, axis=-1)
+        cum_app_features = jnp.sum(weight[..., None] * app_features, axis=-2)
+        rays_to_consider = jnp.any(app_mask, axis=-1)
 
-    rays_to_consider = jnp.any(app_mask, axis=-1)
     rgb, _ = apply_shading(
         params["shading"], config.shading_mode, None, viewdirs,
         cum_app_features, view_pe=config.view_pe, pos_pe=config.pos_pe,

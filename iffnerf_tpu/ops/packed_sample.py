@@ -100,17 +100,14 @@ def packed_bilerp(packed: jnp.ndarray, h: int, w: int, c: int,
     y0, wy0, wy1 = _corner_weights(py, h)
 
     rows = jnp.take(packed, y0 * w + x0, axis=0)  # [..., 4C]
-    f00 = rows[..., 0 * c:1 * c]
-    f01 = rows[..., 1 * c:2 * c]
-    f10 = rows[..., 2 * c:3 * c]
-    f11 = rows[..., 3 * c:4 * c]
-
-    return (
-        f00 * (wx0 * wy0)[..., None]
-        + f01 * (wx1 * wy0)[..., None]
-        + f10 * (wx0 * wy1)[..., None]
-        + f11 * (wx1 * wy1)[..., None]
+    # corner weights kept as a [..., 4] stack and contracted via einsum:
+    # trailing-size-1 broadcast temps ([N, 1]) tile to (8, 128) on TPU — a
+    # 128x memory expansion when autodiff saves them as residuals.
+    weights = jnp.stack(
+        [wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], axis=-1
     )
+    corners = rows.reshape(rows.shape[:-1] + (4, c))
+    return jnp.einsum("...kc,...k->...c", corners, weights)
 
 
 def packed_lerp(packed: jnp.ndarray, l: int, c: int,
@@ -120,7 +117,9 @@ def packed_lerp(packed: jnp.ndarray, l: int, c: int,
     p = _pix(coords, l)
     z0, w0, w1 = _corner_weights(p, l)
     rows = jnp.take(packed, z0, axis=0)
-    return rows[..., :c] * w0[..., None] + rows[..., c:] * w1[..., None]
+    weights = jnp.stack([w0, w1], axis=-1)
+    corners = rows.reshape(rows.shape[:-1] + (2, c))
+    return jnp.einsum("...kc,...k->...c", corners, weights)
 
 
 def packed_trilerp(packed: jnp.ndarray, d: int, h: int, w: int,
