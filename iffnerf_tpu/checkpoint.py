@@ -90,7 +90,8 @@ def load_field(path: str):
         n = int(np.prod(shape))
         vol = np.unpackbits(blobs.pop("alphaMask.mask"))[:n].reshape(shape)
         mask = make_alpha_mask(
-            jnp.asarray(vol, jnp.float32), blobs.pop("alphaMask.aabb")
+            jnp.asarray(vol, jnp.float32), blobs.pop("alphaMask.aabb"),
+            config.contraction_type,
         )
     params = _unflatten(
         {k[len("params/"):]: v for k, v in blobs.items()}
@@ -216,5 +217,6 @@ def load_torch_checkpoint(path: str):
         mask = make_alpha_mask(
             jnp.asarray(vol, jnp.float32),
             np.asarray(ckpt["alphaMask.aabb"], np.float32),
+            config.contraction_type,
         )
     return config, params, mask

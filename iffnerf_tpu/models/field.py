@@ -143,20 +143,29 @@ class AlphaMask:
     volume: jnp.ndarray
     aabb: jnp.ndarray
     packed: jnp.ndarray | None = None
+    # static: unisphere contraction applies the Zip-NeRF power transform
+    # instead of the AABB normalization (reference tensorBase.py:74-83)
+    unisphere: bool = struct.field(pytree_node=False, default=False)
 
 
-def make_alpha_mask(volume: jnp.ndarray, aabb) -> AlphaMask:
+def make_alpha_mask(volume: jnp.ndarray, aabb,
+                    contraction_type: str = "aabb") -> AlphaMask:
     return AlphaMask(
         volume=volume,
         aabb=jnp.asarray(aabb),
         packed=pack_volume(volume, dtype=jnp.uint8),
+        unisphere=contraction_type == "unisphere",
     )
 
 
 def sample_alpha(mask: AlphaMask, xyz: jnp.ndarray) -> jnp.ndarray:
     """Trilinear alpha-mask lookup at world coords xyz [..., 3] -> [...]."""
-    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
-    coords = (xyz - mask.aabb[0]) * inv_size - 1.0
+    if mask.unisphere:
+        center = (mask.aabb[0] + mask.aabb[1]) / 2.0
+        coords = power_transformation(xyz - center, alpha=-1.5)
+    else:
+        inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
+        coords = (xyz - mask.aabb[0]) * inv_size - 1.0
     if mask.packed is not None:
         d, h, w = mask.volume.shape
         return packed_trilerp(mask.packed, d, h, w, coords)
@@ -544,7 +553,7 @@ def update_alpha_mask(config: FieldConfig, params, mask: AlphaMask | None,
     )
     vol = (vol >= config.alpha_mask_thres).astype(jnp.float32)
 
-    new_mask = make_alpha_mask(vol, config.aabb_np)
+    new_mask = make_alpha_mask(vol, config.aabb_np, config.contraction_type)
 
     # AABB from occupied voxels (host-side reduction; tensorBase.py:685-690).
     vol_np = np.asarray(vol)
