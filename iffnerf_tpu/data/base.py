@@ -30,6 +30,10 @@ class RayDataset:
     def __len__(self):
         return len(self.all_rgbs)
 
+    def __getitem__(self, idx):
+        """Reference-style sample dict (dataLoader/blender.py:148-158)."""
+        return {"rays": self.all_rays[idx], "rgbs": self.all_rgbs[idx]}
+
 
 BLENDER2OPENCV = np.array(
     [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]],

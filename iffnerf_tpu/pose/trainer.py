@@ -96,6 +96,9 @@ def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
     """Returns trained id_params. ``rays_generator()`` yields
     (rays_ori, rays_dirs, rays_rgb); ``eval_fn(params, rays)`` optional
     periodic pose eval hook."""
+    from iffnerf_tpu.train.trainer import make_summary_writer
+
+    writer = make_summary_writer("runs")
     tx = make_id_optimizer(id_params)
     opt_state = tx.init(id_params)
     step_fn = make_id_train_step(
@@ -137,6 +140,7 @@ def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
             jnp.asarray(poses[img_idx]), rays[0], -rays[1], rays[2],
         )
         running += float(loss)
+        writer.add_scalar("train/loss", float(loss), global_step=it)
 
         if (it + 1) % 20 == 0:
             log_fn(f"[{it}] loss: {running / 20}")
@@ -144,4 +148,5 @@ def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
         if eval_fn is not None and (it + 1) % val_every_n_iterations == 0:
             eval_fn(id_params, rays, model_up)
 
+    writer.close()
     return id_params, model_up

@@ -341,6 +341,10 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     ndc_ray = bool(args.ndc_ray)
 
     logfolder = os.path.join(args.basedir, args.expname or "exp")
+    if getattr(args, "add_timestamp", 0):
+        import datetime
+
+        logfolder += datetime.datetime.now().strftime("-%Y%m%d-%H%M%S")
     os.makedirs(logfolder, exist_ok=True)
     os.makedirs(f"{logfolder}/imgs_vis", exist_ok=True)
 
