@@ -44,39 +44,72 @@ def make_id_optimizer(params):
 
 def make_id_train_step(config: IDConfig, tx, accum_steps: int):
     """One jitted optimizer step: scan over ``accum_steps`` images, sum
-    grads, skip non-finite contributions (train.py:114-115), apply Adam."""
+    grads, skip non-finite contributions (train.py:114-115), apply Adam.
 
-    def single_loss(params, img, mask, pose, rays_ori, rays_dirs, rays_rgb):
-        scores, _, patch_valid, _ = run_attention(
-            params, config, img, mask, rays_ori, rays_dirs, rays_rgb
+    TPU optimization over the reference: the candidate-ray embedding (the
+    540k-ray MLP, the step's dominant FLOPs) does not depend on the image,
+    so it is computed ONCE per optimizer step; per-image losses take the
+    embedding as an input, their cotangents accumulate across the scan, and
+    one explicit VJP pulls them back through the ray MLP — mathematically
+    identical to the reference's 32 independent backward passes."""
+    import math as _math
+
+    from iffnerf_tpu.pose.id_module import (
+        _cast_linear,
+        image_features,
+        ray_features,
+    )
+
+    def per_image_loss(params, feats_rays, img, mask, pose, rays_ori,
+                       rays_dirs):
+        feats_w_pe, patch_valid, _ = image_features(params, config, img, mask)
+        dt = jnp.dtype(config.compute_dtype)
+        q = feats_w_pe.astype(dt) @ params["q_proj"]["w"].astype(dt) + \
+            params["q_proj"]["b"].astype(dt)
+        k = feats_rays.astype(dt) @ params["k_proj"]["w"].astype(dt) + \
+            params["k_proj"]["b"].astype(dt)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        attention = jax.nn.softmax(logits / _math.sqrt(q.shape[-1]), axis=-1)
+        scores = jnp.sum(
+            jnp.where(patch_valid[:, None], attention, 0.0), axis=0
         )
         loss, _ = distance_based_score_loss(
             scores, pose, rays_ori, rays_dirs, jnp.sum(patch_valid)
         )
         return loss
 
-    grad_fn = jax.value_and_grad(single_loss)
+    grad_fn = jax.value_and_grad(per_image_loss, argnums=(0, 1))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, imgs, masks, poses, rays_ori, rays_dirs,
              rays_rgb):
+        feats_rays, ray_vjp = jax.vjp(
+            lambda p: ray_features(p, config, rays_ori, rays_dirs, rays_rgb),
+            params,
+        )
+
         def body(carry, batch):
-            grads_acc, loss_acc = carry
+            grads_acc, dfeats_acc, loss_acc = carry
             img, mask, pose = batch
-            loss, grads = grad_fn(
-                params, img, mask, pose, rays_ori, rays_dirs, rays_rgb
+            loss, (g_params, g_feats) = grad_fn(
+                params, feats_rays, img, mask, pose, rays_ori, rays_dirs
             )
             ok = jnp.isfinite(loss)
-            grads = jax.tree.map(
-                lambda g: jnp.where(ok, g, 0.0), grads
-            )
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + jnp.where(ok, loss, 0.0)), None
+            g_params = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), g_params)
+            g_feats = jnp.where(ok, g_feats, 0.0)
+            return (
+                jax.tree.map(jnp.add, grads_acc, g_params),
+                dfeats_acc + g_feats,
+                loss_acc + jnp.where(ok, loss, 0.0),
+            ), None
 
         zero = jax.tree.map(jnp.zeros_like, params)
-        (grads, loss_sum), _ = jax.lax.scan(
-            body, (zero, 0.0), (imgs, masks, poses)
+        (grads, dfeats, loss_sum), _ = jax.lax.scan(
+            body, (zero, jnp.zeros_like(feats_rays), 0.0),
+            (imgs, masks, poses),
         )
+        (ray_grads,) = ray_vjp(dfeats)
+        grads = jax.tree.map(jnp.add, grads, ray_grads)
         grads = jax.tree.map(lambda g: g / accum_steps, grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -86,10 +86,20 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
         start_iterations = int(meta.get("epoch", args.id_iters))
 
     key = jax.random.PRNGKey(args.seed)
-    gen = functools.partial(
-        explore_field, key, config, params, mask,
-        gen_points=args.gen_points,
-    )
+
+    def make_generator(base_key):
+        """Fresh surface resampling per call (reference resampling=True,
+        train_eval_pose_est.py:68-72) — each renewal splits a new key."""
+        state = {"key": base_key}
+
+        def gen():
+            state["key"], sub = jax.random.split(state["key"])
+            return explore_field(sub, config, params, mask,
+                                 gen_points=args.gen_points)
+
+        return gen
+
+    gen = make_generator(key)
 
     id_params, model_up = train_id_module(
         key, id_params, id_config, gen, train_dataset, test_dataset,
