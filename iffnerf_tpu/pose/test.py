@@ -46,15 +46,22 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
             mask_img = jnp.ones(obs.shape[:-1], obs.dtype)
             obs_img = obs
 
+        # Score AND solve with the NEGATED generator directions — the sign
+        # the ID module was trained on (pose_estimation/train.py:98). The
+        # reference's test path queries the un-negated directions
+        # (test.py:84-91), i.e. embeddings it never trained — measured
+        # recall ~0; with the trained sign the solver geometry is identical
+        # (line intersection is sign-invariant; exclude_negatives and the
+        # watch direction want camera-pointing rays, which -dirs are).
         c2w, scores, idx, weights = estimate_pose_single(
-            id_params, id_config, obs_img, mask_img, rays_ori, rays_dirs,
+            id_params, id_config, obs_img, mask_img, rays_ori, -rays_dirs,
             rays_rgb, model_up, k=k,
         )
 
         avg_score, recall = -1.0, -1.0
         if compute_loss:
             loss, target = distance_based_score_loss(
-                scores, pose, rays_ori, rays_dirs,
+                scores, pose, rays_ori, -rays_dirs,
                 id_config.backbone_wh[0] * id_config.backbone_wh[1],
             )
             avg_score = float(loss)
