@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from iffnerf_tpu.nn import linear_apply, linear_init, mlp_init
+from iffnerf_tpu.nn import linear_apply, mlp_init
 from iffnerf_tpu.ops.encoding import positional_encoding
 from iffnerf_tpu.pose.vit import ViTConfig, init_vit, vit_forward_features
 

@@ -23,7 +23,6 @@ import optax
 from iffnerf_tpu.pose.id_module import (
     IDConfig,
     distance_based_score_loss,
-    run_attention,
 )
 
 
@@ -54,11 +53,7 @@ def make_id_train_step(config: IDConfig, tx, accum_steps: int):
     identical to the reference's 32 independent backward passes."""
     import math as _math
 
-    from iffnerf_tpu.pose.id_module import (
-        _cast_linear,
-        image_features,
-        ray_features,
-    )
+    from iffnerf_tpu.pose.id_module import image_features, ray_features
 
     def per_image_loss(params, feats_rays, img, mask, pose, rays_ori,
                        rays_dirs):

@@ -336,3 +336,34 @@ def test_compacted_render_matches_dense():
         for a, b in zip(outs[0.0], outs[ratio]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_compacted_gradients_match_dense():
+    """Gradients through the compact march must equal the dense path's."""
+    from iffnerf_tpu.models.field import make_alpha_mask
+
+    cfg_base = dict(grid_size=(12, 12, 12), density_n_comp=(2, 2, 2),
+                    app_n_comp=(3, 3, 3), app_dim=6, shading_mode="MLP_Fea",
+                    feature_c=16, view_pe=2, fea_pe=2, pos_pe=2,
+                    fused_eval="on")
+    params = init_field(jax.random.PRNGKey(6), FieldConfig(**cfg_base))
+    vol = (RNG.uniform(0, 1, (7, 7, 7)) < 0.3).astype(np.float32)
+    mask = make_alpha_mask(jnp.asarray(vol),
+                           np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]]))
+    rays = RNG.standard_normal((32, 7)).astype(np.float32)
+    rays[:, :3] *= 3.0
+    rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+    rays = jnp.asarray(rays)
+    target = jnp.asarray(RNG.uniform(0, 1, (32, 3)).astype(np.float32))
+
+    def loss(p, ratio):
+        cfg = FieldConfig(**cfg_base, compact_ratio=ratio)
+        rgb, *_ = render_rays(cfg, p, mask, rays, is_train=False,
+                              white_bg=True)
+        return jnp.mean((rgb - target) ** 2)
+
+    g_dense = jax.grad(lambda p: loss(p, 0.0))(params)
+    g_comp = jax.grad(lambda p: loss(p, 0.5))(params)
+    for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_comp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
