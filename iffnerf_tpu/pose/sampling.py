@@ -158,11 +158,13 @@ def samples_points_normals(config: FieldConfig, params, samples):
                            app_features)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "white_bg"))
 def evaluate_viewdirs_color(config: FieldConfig, params, mask,
                             points, viewdirs, white_bg: bool = False):
     """Ray color by rendering 20 samples centered on the surface point
     (reference sampling.py:237-251; model.sample_point_color,
-    tensorBase.py:623-638)."""
+    tensorBase.py:623-638). Module-level jit: the compiled program is reused
+    across every ray-set regeneration."""
     rays = jnp.concatenate(
         [jnp.broadcast_to(points, viewdirs.shape), viewdirs], axis=-1
     ).reshape(-1, 6)
@@ -191,10 +193,6 @@ def generate_all_possible_rays(config: FieldConfig, params,
     n = points.shape[0]
 
     rgb_parts = []
-    eval_fn = jax.jit(
-        functools.partial(evaluate_viewdirs_color, config),
-        static_argnames=(),
-    )
     for i in range(0, n, pts_per_chunk):
         pts = points_b[i:i + pts_per_chunk]
         dirs = rotated[i:i + pts_per_chunk]
@@ -202,7 +200,7 @@ def generate_all_possible_rays(config: FieldConfig, params,
         if pad:
             pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)), mode="edge")
             dirs = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)), mode="edge")
-        rgb = eval_fn(params, mask, pts, dirs)
+        rgb = evaluate_viewdirs_color(config, params, mask, pts, dirs)
         rgb_parts.append(rgb[:pts.shape[0] - pad] if pad else rgb)
     rgbs = jnp.concatenate(rgb_parts, axis=0)
     return (
