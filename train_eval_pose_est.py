@@ -42,6 +42,9 @@ def add_pose_args(parser):
                         help="npz of converted DINOv2 ViT-S/14 weights "
                              "(tools/convert_dinov2.py); random init if unset")
     parser.add_argument("--id_iters", type=int, default=1500)
+    parser.add_argument("--id_backbone_depth", type=int, default=12,
+                        help="ViT depth; < 12 can generalize better when "
+                             "training from scratch (no pretrained weights)")
     parser.add_argument("--gen_points", type=int, default=20000)
     parser.add_argument("--accum_steps", type=int, default=32)
 
@@ -72,7 +75,9 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
     config, params, mask = load_model(ckpt_path)
     nerf = (config, params, mask)
 
-    id_config = IDConfig()
+    from iffnerf_tpu.pose.vit import ViTConfig
+
+    id_config = IDConfig(backbone=ViTConfig(depth=args.id_backbone_depth))
     id_params = init_id_module(jax.random.PRNGKey(args.seed), id_config)
     if args.backbone_ckpt:
         backbone, _ = load_pytree(args.backbone_ckpt)
