@@ -83,3 +83,34 @@ def test_train_e2e_psnr(fixture_scene, tmp_path):
         white_bg=True, compute_extra_metrics=False,
     )
     np.testing.assert_allclose(np.mean(psnrs2), mean_psnr, atol=1e-3)
+
+
+def test_train_scan_mode_matches(fixture_scene, tmp_path):
+    """--train_scan (device-resident lax.scan steps) reaches comparable
+    PSNR to the per-step path on a short run."""
+    args = config_parser(
+        [
+            "--datadir", fixture_scene,
+            "--expname", "fixture_scan",
+            "--basedir", str(tmp_path),
+            "--n_iters", "150",
+            "--batch_size", "1024",
+            "--N_voxel_init", str(24 ** 3),
+            "--N_voxel_final", str(32 ** 3),
+            "--upsamp_list", "120",
+            "--update_AlphaMask_list", "80",
+            "--shadingMode", "MLP_Fea",
+            "--view_pe", "2", "--fea_pe", "2",
+            "--L1_weight_inital", "8e-5",
+            "--N_vis", "0", "--vis_every", "100000",
+            "--step_ratio", "0.5",
+            "--train_scan", "1",
+        ]
+    )
+    config, params, mask, _ = reconstruction(args, log_fn=lambda *a: None)
+    test_ds = load_blender(fixture_scene, split="test", is_stack=True)
+    psnrs = evaluation(
+        test_ds, config, params, mask, save_path=None, N_vis=-1,
+        white_bg=True, compute_extra_metrics=False,
+    )
+    assert float(np.mean(psnrs)) > 18.0, psnrs
