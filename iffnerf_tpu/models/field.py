@@ -295,6 +295,9 @@ def compute_densityfeature(config: FieldConfig, params, xyz: jnp.ndarray):
     return jnp.sum(prod, axis=-1)
 
 
+FUSED_EVAL_CHUNK = 1 << 20  # samples per lax.map slice (bounds HBM temps)
+
+
 def compute_features_fused(config: FieldConfig, params, xyz: jnp.ndarray):
     """Density + appearance features in one pass with ONE gathered row per
     plane and per line (density/app channels concatenated before footprint
@@ -303,36 +306,62 @@ def compute_features_fused(config: FieldConfig, params, xyz: jnp.ndarray):
     — the TPU hot-path replacement for the reference's six F.grid_sample
     calls (tensoRF.py:216-256).
 
+    Large inputs are evaluated in ``FUSED_EVAL_CHUNK``-sample lax.map slices:
+    the gathered-row temporaries are [n, 4*(Cd+Ca)] (~1 KB/sample at lego
+    ranks), which otherwise peaks at several GB at the 300^3 phase.
+
     Returns (sigma_feature [...], app_feature [..., app_dim])."""
     assert config.model_name == "TensorVMSplit"
-    sigma = None
-    app_parts = []
+
+    packed_planes, packed_lines, dims = [], [], []
     for i in range(3):
-        m0, m1 = MAT_MODE[i]
         cd = config.density_n_comp[i]
         ca = config.app_n_comp[i]
         plane_cat = jnp.concatenate(
             [params["density_plane"][i], params["app_plane"][i]], axis=-1
         )
-        h, w = plane_cat.shape[:2]
-        packed = pack_plane(plane_cat)
-        feats = packed_bilerp(
-            packed, h, w, cd + ca,
-            jnp.stack([xyz[..., m0], xyz[..., m1]], axis=-1),
-        )
         line_cat = jnp.concatenate(
             [params["density_line"][i], params["app_line"][i]], axis=-1
         )
-        lfeats = packed_lerp(
-            pack_line(line_cat), line_cat.shape[0], cd + ca,
-            xyz[..., VEC_MODE[i]],
+        packed_planes.append(pack_plane(plane_cat))
+        packed_lines.append(pack_line(line_cat))
+        dims.append((plane_cat.shape[0], plane_cat.shape[1],
+                     line_cat.shape[0], cd, ca))
+
+    def eval_block(pts):
+        sigma = None
+        app_parts = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            h, w, l, cd, ca = dims[i]
+            feats = packed_bilerp(
+                packed_planes[i], h, w, cd + ca,
+                jnp.stack([pts[..., m0], pts[..., m1]], axis=-1),
+            )
+            lfeats = packed_lerp(packed_lines[i], l, cd + ca,
+                                 pts[..., VEC_MODE[i]])
+            prod = feats * lfeats
+            contrib = jnp.sum(prod[..., :cd], axis=-1)
+            sigma = contrib if sigma is None else sigma + contrib
+            app_parts.append(prod[..., cd:])
+        app = linear_apply(params["basis_mat"],
+                           jnp.concatenate(app_parts, -1))
+        return sigma, app
+
+    shape = xyz.shape[:-1]
+    flat = xyz.reshape(-1, 3)
+    n = flat.shape[0]
+    if n <= FUSED_EVAL_CHUNK:
+        sigma, app = eval_block(flat)
+    else:
+        n_chunks = -(-n // FUSED_EVAL_CHUNK)
+        padded = jnp.pad(flat, ((0, n_chunks * FUSED_EVAL_CHUNK - n), (0, 0)))
+        sigma, app = jax.lax.map(
+            eval_block, padded.reshape(n_chunks, FUSED_EVAL_CHUNK, 3)
         )
-        prod = feats * lfeats
-        contrib = jnp.sum(prod[..., :cd], axis=-1)
-        sigma = contrib if sigma is None else sigma + contrib
-        app_parts.append(prod[..., cd:])
-    app = linear_apply(params["basis_mat"], jnp.concatenate(app_parts, -1))
-    return sigma, app
+        sigma = sigma.reshape(-1)[:n]
+        app = app.reshape(-1, config.app_dim)[:n]
+    return sigma.reshape(shape), app.reshape(shape + (config.app_dim,))
 
 
 def compute_appfeature(config: FieldConfig, params, xyz: jnp.ndarray):
