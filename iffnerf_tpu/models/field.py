@@ -73,12 +73,15 @@ class FieldConfig:
     # of 36 — see ops/packed_sample.py), plain gathers on CPU where the
     # packing overhead loses; "on"/"off" force either path.
     fused_eval: str = "auto"
-    # When an alpha mask is active, evaluate features only for the valid
-    # samples, compacted into a buffer of ``compact_ratio * N`` slots
-    # (exact: a lax.cond falls back to dense evaluation if more samples are
-    # valid than fit). Gathers are row-rate-bound on TPU, so this cuts the
-    # dominant cost by the invalid fraction. 0 disables.
+    # Evaluate features only for the valid samples, compacted into a buffer
+    # of ``ratio * N`` slots (exact: a lax.cond falls back to dense
+    # evaluation if more samples are valid than fit). Gathers are
+    # row-rate-bound on TPU, so this cuts the dominant cost by the invalid
+    # fraction. ``compact_ratio`` applies under an alpha mask (~5-20% valid);
+    # ``compact_ratio_unmasked`` applies before the first mask, where only
+    # AABB clipping invalidates samples (~40-60% valid). 0 disables.
     compact_ratio: float = 0.25
+    compact_ratio_unmasked: float = 0.65
 
     @property
     def use_fused_eval(self) -> bool:

@@ -117,7 +117,8 @@ def compute_alpha(config: FieldConfig, params, mask: AlphaMask | None,
     return 1.0 - jnp.exp(-sigma * length)
 
 
-def _compact_march(config: FieldConfig, params, coords, ray_valid, dists):
+def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
+                   ratio: float):
     """The volumetric march restricted to alpha-mask-valid samples.
 
     Valid sample indices (sorted, from jnp.nonzero with a static
@@ -140,7 +141,7 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists):
     coords_f = coords.reshape(-1, 3)
     valid_f = ray_valid.reshape(-1)
     n = valid_f.shape[0]
-    k = max(((int(n * config.compact_ratio) + 127) // 128) * 128, 128)
+    k = max(((int(n * ratio) + 127) // 128) * 128, 128)
     k = min(k, n)
     app_dim = config.app_dim
     thres = config.ray_march_weight_thres
@@ -274,11 +275,12 @@ def render_rays(
         ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
 
     coords = normalize_coord(config, xyz)
-    if (config.use_fused_eval and mask is not None
-            and config.compact_ratio > 0):
+    compact_ratio = (config.compact_ratio if mask is not None
+                     else config.compact_ratio_unmasked)
+    if config.use_fused_eval and compact_ratio > 0:
         (sigma, alpha, weight, acc_map, cum_app_features,
          rays_to_consider) = _compact_march(
-            config, params, coords, ray_valid, dists
+            config, params, coords, ray_valid, dists, compact_ratio
         )
     else:
         if config.use_fused_eval:
