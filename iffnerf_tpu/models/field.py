@@ -77,11 +77,13 @@ class FieldConfig:
     # of ``ratio * N`` slots (exact: a lax.cond falls back to dense
     # evaluation if more samples are valid than fit). Gathers are
     # row-rate-bound on TPU, so this cuts the dominant cost by the invalid
-    # fraction. ``compact_ratio`` applies under an alpha mask (~5-20% valid);
-    # ``compact_ratio_unmasked`` applies before the first mask, where only
-    # AABB clipping invalidates samples (~40-60% valid). 0 disables.
+    # fraction. ``compact_ratio`` applies under an alpha mask (~5-20% valid).
+    # ``compact_ratio_unmasked`` would apply before the first mask, but at
+    # the ~60% AABB-validity typical there the compaction bookkeeping
+    # (nonzero + sigma scatter + checkpoint recompute) costs more than it
+    # saves (measured 621 vs 402 ms/step) — 0 keeps the dense path.
     compact_ratio: float = 0.25
-    compact_ratio_unmasked: float = 0.65
+    compact_ratio_unmasked: float = 0.0
 
     @property
     def use_fused_eval(self) -> bool:
