@@ -2,7 +2,10 @@
 
 from iffnerf_tpu.pose.isocell import isocell_distribution, rotate_isocell
 from iffnerf_tpu.pose.geometry import (
+    compute_line_intersection,
     compute_line_intersection_impl2,
+    compute_line_intersection_impl3,
+    compute_line_intersection_impl4,
     make_rotation_mat,
     exclude_negatives,
     compute_translation_error,

@@ -9,7 +9,41 @@ All functions are jnp + jit-safe: the reference's NaN early-returns become
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _cross_product_system(points, directions, weights=None):
+    """Shared A/b construction for the cross-product solvers
+    (reference pose_geometry.py:4-21,148-166): each consecutive ray pair
+    contributes the row cross(dᵢ, dᵢ₊₁) with rhs pᵢ₊₁·row.
+
+    The reference then drops "parallel" rows by boolean indexing; under XLA
+    we keep static shapes and zero those rows instead — zero rows leave the
+    least-squares normal equations AᵀA, Aᵀb unchanged, so this is exact.
+    (The reference's parallel test omits abs() and so also drops rows with
+    large negative components; we implement the intended |cross| < 1e-7.)
+    """
+    cross = jnp.cross(directions[:-1], directions[1:])
+    a_mat = cross
+    b = jnp.sum(points[1:] * cross, axis=-1)
+    if weights is not None:
+        a_mat = a_mat * weights[1:, None]
+        b = b * weights[1:]
+    keep = ~jnp.all(jnp.abs(cross) < 1e-7, axis=-1)
+    return a_mat * keep[:, None], b * keep
+
+
+def compute_line_intersection(points: jnp.ndarray,
+                              directions: jnp.ndarray,
+                              weights: jnp.ndarray | None = None):
+    """Cross-product LSQ intersection (reference pose_geometry.py:4-39):
+    A = cross(dᵢ, dᵢ₊₁), b = pᵢ₊₁·Aᵢ, lstsq(A, b). The reference replaces a
+    NaN solution with ones; kept for behavioral parity."""
+    a_mat, b = _cross_product_system(points, directions, weights)
+    solution = jnp.linalg.lstsq(a_mat, b)[0]
+    return jnp.where(jnp.any(jnp.isnan(solution)),
+                     jnp.ones_like(solution), solution)
 
 
 def compute_line_intersection_impl2(points: jnp.ndarray,
@@ -28,6 +62,62 @@ def compute_line_intersection_impl2(points: jnp.ndarray,
     solution = jnp.linalg.solve(r_mat, q)[:, 0]
     singular = jnp.linalg.det(r_mat) < 1e-7
     return jnp.where(singular, jnp.nan, solution)
+
+
+def compute_line_intersection_impl3(points: jnp.ndarray,
+                                    directions: jnp.ndarray,
+                                    weights: jnp.ndarray | None = None):
+    """Same normal equations as impl2 but the weights multiply BOTH the
+    projector sum and the rhs, and the 3x3 system is solved with lstsq
+    (pseudo-inverse) instead of an exact solve — so a singular projector sum
+    yields the minimum-norm solution rather than NaN
+    (reference pose_geometry.py:98-126)."""
+    eye = jnp.eye(3, dtype=points.dtype)
+    projs = eye - directions[:, :, None] * directions[:, None, :]
+    b = projs @ points[:, :, None]
+    if weights is not None:
+        projs = projs * weights[:, None, None]
+        b = b * weights[:, None, None]
+    solution = jnp.linalg.lstsq(projs.sum(axis=0), b.sum(axis=0))[0]
+    return solution[:, 0]
+
+
+def _irls(y: jnp.ndarray, x_mat: jnp.ndarray, maxiter: int,
+          w_init: float = 1.0, d: float = 1e-4,
+          tolerance: float = 1e-3) -> jnp.ndarray:
+    """Iteratively-reweighted least squares with an L1 (1/residual) weight
+    update (reference pose_geometry.py:129-145). The reference's
+    data-dependent early exit becomes a `lax.while_loop` condition so the
+    whole solver stays one XLA program with static shapes."""
+    w0 = jnp.full((y.shape[0],), w_init, dtype=x_mat.dtype)
+
+    def weighted_solve(w):
+        xtw = x_mat.T * w[None, :]
+        return jnp.linalg.lstsq(xtw @ x_mat, xtw @ y)[0]
+
+    def cond(state):
+        i, _, tol = state
+        return (i < maxiter) & (tol >= tolerance)
+
+    def body(state):
+        i, beta, _ = state
+        resid = jnp.abs(y - x_mat @ beta)
+        w = 1.0 / jnp.maximum(d, resid)
+        new_beta = weighted_solve(w)
+        return i + 1, new_beta, jnp.sum(jnp.abs(new_beta - beta))
+
+    init = (jnp.int32(0), weighted_solve(w0), jnp.asarray(jnp.inf, x_mat.dtype))
+    return jax.lax.while_loop(cond, body, init)[1]
+
+
+def compute_line_intersection_impl4(points: jnp.ndarray,
+                                    directions: jnp.ndarray,
+                                    weights: jnp.ndarray | None = None):
+    """Robust (IRLS) variant of the cross-product solver
+    (reference pose_geometry.py:148-171): downweights outlier rays by
+    1/|residual| over up to 100 reweighting rounds."""
+    a_mat, b = _cross_product_system(points, directions, weights)
+    return _irls(b, a_mat, maxiter=100)
 
 
 def make_rotation_mat(direction: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
