@@ -69,7 +69,10 @@ def save_field(path: str, config: FieldConfig, params,
 
 
 def _config_from_dict(d: dict) -> FieldConfig:
-    d = dict(d)
+    # tolerate configs written by newer/older versions (extra keys dropped,
+    # missing keys take the dataclass defaults)
+    known = {f.name for f in dataclasses.fields(FieldConfig)}
+    d = {k: v for k, v in d.items() if k in known}
     for key in ("aabb",):
         d[key] = tuple(map(tuple, d[key]))
     for key in ("grid_size", "density_n_comp", "app_n_comp", "near_far"):

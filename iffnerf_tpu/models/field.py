@@ -84,6 +84,11 @@ class FieldConfig:
     # saves (measured 621 vs 402 ms/step) — 0 keeps the dense path.
     compact_ratio: float = 0.25
     compact_ratio_unmasked: float = 0.0
+    # Eval renders see the same masked validity (~8% on a lego-like shell)
+    # but no autodiff, so a tighter buffer pays off: 0.125 measured 569 vs
+    # 806 ms per 16k-ray chunk at 300^3 (1.42x faster full-image renders).
+    # Falls back densely (correct, slower) if a fat mask exceeds the buffer.
+    compact_ratio_eval: float = 0.125
 
     @property
     def use_fused_eval(self) -> bool:

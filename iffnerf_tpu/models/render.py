@@ -275,8 +275,11 @@ def render_rays(
         ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
 
     coords = normalize_coord(config, xyz)
-    compact_ratio = (config.compact_ratio if mask is not None
-                     else config.compact_ratio_unmasked)
+    if mask is not None:
+        compact_ratio = (config.compact_ratio if is_train
+                         else config.compact_ratio_eval)
+    else:
+        compact_ratio = config.compact_ratio_unmasked
     if config.use_fused_eval and compact_ratio > 0:
         (sigma, alpha, weight, acc_map, cum_app_features,
          rays_to_consider) = _compact_march(
