@@ -26,6 +26,10 @@ from iffnerf_tpu.models.field import (
 from iffnerf_tpu.models.shading import apply_shading
 from iffnerf_tpu.ops.ray_march import raw2alpha
 
+# sample-compaction index extraction runs at this block granularity
+# (see _compact_march): nonzero over n/8 block flags instead of n samples
+_BLOCK = 8
+
 
 def _aabb_t_range(aabb, rays_o, rays_d):
     """Entry/exit t of each ray w.r.t. the AABB (slab test)."""
@@ -146,7 +150,20 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
     app_dim = config.app_dim
     thres = config.ray_march_weight_thres
 
-    count = jnp.sum(valid_f)
+    # Index extraction at _BLOCK-sample granularity: jnp.nonzero is a
+    # cumsum+scatter over its whole input — 158 ms on 17M samples on v5e,
+    # 8x cheaper over 2.1M block flags. Valid samples form contiguous runs
+    # along rays (typical run ~90 samples at lego scale), so selecting whole
+    # blocks wastes few buffer slots, and the in-block invalid samples are
+    # masked below exactly like the dense path's where-masking — exactness
+    # is unchanged.
+    n_blocks = n // _BLOCK
+    use_blocks = n % _BLOCK == 0 and k % _BLOCK == 0
+    if use_blocks:
+        blk_any = jnp.any(valid_f.reshape(n_blocks, _BLOCK), axis=-1)
+        fits = jnp.sum(blk_any) <= k // _BLOCK
+    else:
+        fits = jnp.sum(valid_f) <= k
 
     def finish_dense(sigma_feature, app_features):
         sigma = jnp.where(
@@ -167,17 +184,39 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
         return finish_dense(sig_f, app_f)
 
     def compact(_):
-        (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
-        in_buf = idx < n
-        safe_idx = jnp.minimum(idx, n - 1)
+        if use_blocks:
+            nb = k // _BLOCK
+            (bidx,) = jnp.nonzero(blk_any, size=nb, fill_value=n_blocks)
+            # make fill entries distinct ascending so the expanded sample
+            # indices stay strictly sorted and unique (scatter promises)
+            fill = bidx >= n_blocks
+            base = jnp.where(
+                fill, n_blocks + jnp.arange(nb, dtype=bidx.dtype), bidx
+            )
+            idx = (
+                base[:, None] * _BLOCK
+                + jnp.arange(_BLOCK, dtype=bidx.dtype)[None, :]
+            ).reshape(-1)
+            safe_idx = jnp.minimum(idx, n - 1)
+            in_buf = (idx < n) & jnp.take(valid_f, safe_idx)
+        else:
+            (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
+            in_buf = idx < n
+            safe_idx = jnp.minimum(idx, n - 1)
         cc = jnp.take(coords_f, safe_idx, axis=0)
         sig_k, app_k = compute_features_fused(config, params, cc)
 
-        # dense sigma via scalar scatter (row n dropped by the slice)
-        sig_dense = jnp.zeros((n + 1,), sig_k.dtype).at[
-            jnp.where(in_buf, idx, n)
-        ].set(sig_k, mode="drop", unique_indices=True,
-              indices_are_sorted=True)[:n]
+        # dense sigma via scalar scatter (out-of-range rows dropped)
+        if use_blocks:
+            sig_dense = jnp.zeros((n,), sig_k.dtype).at[idx].set(
+                jnp.where(in_buf, sig_k, 0.0), mode="drop",
+                unique_indices=True, indices_are_sorted=True,
+            )
+        else:
+            sig_dense = jnp.zeros((n + 1,), sig_k.dtype).at[
+                jnp.where(in_buf, idx, n)
+            ].set(sig_k, mode="drop", unique_indices=True,
+                  indices_are_sorted=True)[:n]
         sigma = jnp.where(
             valid_f.reshape(n_rays, s),
             feature2density(config, sig_dense.reshape(n_rays, s)), 0.0,
@@ -213,7 +252,7 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
     # checkpoint: without it autodiff saves each branch's broadcast temps as
     # residuals, which TPU tile-padding can inflate ~128x -> OOM
     return jax.lax.cond(
-        count <= k, jax.checkpoint(compact), jax.checkpoint(dense), None
+        fits, jax.checkpoint(compact), jax.checkpoint(dense), None
     )
 
 
