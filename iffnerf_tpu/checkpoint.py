@@ -77,6 +77,8 @@ def _config_from_dict(d: dict) -> FieldConfig:
         d[key] = tuple(map(tuple, d[key]))
     for key in ("grid_size", "density_n_comp", "app_n_comp", "near_far"):
         d[key] = tuple(d[key])
+    if "compact_ratios_eval" in d:  # JSON round-trips tuples as lists
+        d["compact_ratios_eval"] = tuple(d["compact_ratios_eval"])
     return FieldConfig(**d)
 
 

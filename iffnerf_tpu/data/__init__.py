@@ -16,9 +16,9 @@ from iffnerf_tpu.data.your_own import load_your_own
 from iffnerf_tpu.data.mip360 import load_mip360
 from iffnerf_tpu.data.repair import load_repair
 from iffnerf_tpu.data.co3d import load_co3d
+from iffnerf_tpu.data.co3d_metashape import load_co3d_metashape
 
 # reference dataLoader/__init__.py:12-22
-# (co3d_metashape shares the Metashape path used by "repair")
 dataset_dict = {
     "blender": load_blender,
     "nsvf": load_nsvf,
@@ -27,7 +27,7 @@ dataset_dict = {
     "mip360": load_mip360,
     "repair": load_repair,
     "co3d": load_co3d,
-    "co3d_metashape": load_repair,
+    "co3d_metashape": load_co3d_metashape,
     "own_data": load_your_own,
 }
 

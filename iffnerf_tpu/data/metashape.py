@@ -43,7 +43,7 @@ def load_cameras_xml(camera_filepath: str, base_dir: str,
 
     sensor_by_id = {s.get("id"): s for s in sensors.findall("sensor")}
 
-    filenames, masks, cam2world, Ks = [], [], [], []
+    filenames, undist, masks, cam2world, Ks = [], [], [], [], []
     for camera in cameras.iter("camera"):
         if camera.get("enabled") == "false":
             continue
@@ -98,10 +98,18 @@ def load_cameras_xml(camera_filepath: str, base_dir: str,
             else:
                 continue
         filenames.append(img_path)
+        ext = os.path.splitext(img_path)[1]
+        # Metashape's undistorted render of the same frame (used when the
+        # main img_dirname holds the raw images — reference
+        # repair_camera_parser.py:173-176)
+        undist.append(
+            img_path if img_dirname == "undistorted_images" else
+            os.path.join(base_dir, "undistorted_images",
+                         os.path.splitext(label)[0] + ext)
+        )
         masks.append(
             os.path.join(base_dir, "masks_metashape",
-                         os.path.splitext(label)[0]
-                         + os.path.splitext(img_path)[1])
+                         os.path.splitext(label)[0] + ext)
         )
         cam2world.append(transform)
         Ks.append(np.asarray(cam_mat, np.float32))
@@ -115,6 +123,7 @@ def load_cameras_xml(camera_filepath: str, base_dir: str,
     return (
         {
             "filenames": filenames,
+            "metashape_filenames": undist,
             "metashape_masks": masks,
             "cam2world": cam2world,
             "Ks": np.stack(Ks),

@@ -88,7 +88,15 @@ class FieldConfig:
     # but no autodiff, so a tighter buffer pays off: 0.125 measured 569 vs
     # 806 ms per 16k-ray chunk at 300^3 (1.42x faster full-image renders).
     # Falls back densely (correct, slower) if a fat mask exceeds the buffer.
+    # (superseded by compact_ratios_eval; kept so old checkpoints'
+    # self-describing kwargs still construct)
     compact_ratio_eval: float = 0.125
+    # Eval renders dispatch on the valid-sample popcount across these
+    # pre-compiled buffer sizes (fractions of N*S), picking the smallest
+    # that fits (lax.switch in _compact_march) — the span-bucketed chunks
+    # of render_chunked see occupancies from ~8% up to ~70%, so a single
+    # worst-case k either overflows to dense or wastes k-proportional work.
+    compact_ratios_eval: tuple = (0.125, 0.25, 0.5, 0.75)
 
     @property
     def use_fused_eval(self) -> bool:

@@ -122,7 +122,7 @@ def compute_alpha(config: FieldConfig, params, mask: AlphaMask | None,
 
 
 def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
-                   ratio: float):
+                   ratios):
     """The volumetric march restricted to alpha-mask-valid samples.
 
     Valid sample indices (sorted, from jnp.nonzero with a static
@@ -134,10 +134,15 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
     back densely (a cheap scalar scatter) because the transmittance cumprod
     (raw2alpha) wants the dense [N, S] layout.
 
+    ``ratios`` is a (static) tuple of buffer sizes as fractions of the total
+    sample count. The valid-count popcount selects the SMALLEST buffer that
+    fits via ``lax.switch`` — feature-evaluation work scales with actual
+    occupancy instead of a single worst-case k — falling back to the dense
+    path above the largest.
+
     Exact by construction: invalid samples contribute zeros exactly as the
-    dense path's where-masking does (reference tensorBase.py:839-851), and a
-    lax.cond falls back to the dense path when more samples are valid than
-    the buffer holds.
+    dense path's where-masking does (reference tensorBase.py:839-851), and
+    every branch computes the same masked math on the same valid samples.
 
     Returns (sigma [N,S], alpha [N,S], weight [N,S], acc [N],
     cum_app [N, app_dim], rays_any [N])."""
@@ -145,8 +150,11 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
     coords_f = coords.reshape(-1, 3)
     valid_f = ray_valid.reshape(-1)
     n = valid_f.shape[0]
-    k = max(((int(n * ratio) + 127) // 128) * 128, 128)
-    k = min(k, n)
+    ks = []
+    for ratio in sorted(ratios):
+        k = max(((int(n * ratio) + 127) // 128) * 128, 128)
+        if k < n and (not ks or k > ks[-1]):
+            ks.append(k)
     app_dim = config.app_dim
     thres = config.ray_march_weight_thres
 
@@ -158,12 +166,14 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
     # masked below exactly like the dense path's where-masking — exactness
     # is unchanged.
     n_blocks = n // _BLOCK
-    use_blocks = n % _BLOCK == 0 and k % _BLOCK == 0
-    if use_blocks:
+    use_blocks = n % _BLOCK == 0 and all(k % _BLOCK == 0 for k in ks)
+    if use_blocks and ks:
         blk_any = jnp.any(valid_f.reshape(n_blocks, _BLOCK), axis=-1)
-        fits = jnp.sum(blk_any) <= k // _BLOCK
+        count = jnp.sum(blk_any)
+        limits = [k // _BLOCK for k in ks]
     else:
-        fits = jnp.sum(valid_f) <= k
+        count = jnp.sum(valid_f)
+        limits = ks
 
     def finish_dense(sigma_feature, app_features):
         sigma = jnp.where(
@@ -183,77 +193,82 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
         sig_f, app_f = compute_features_fused(config, params, coords_f)
         return finish_dense(sig_f, app_f)
 
-    def compact(_):
-        if use_blocks:
-            nb = k // _BLOCK
-            (bidx,) = jnp.nonzero(blk_any, size=nb, fill_value=n_blocks)
-            # make fill entries distinct ascending so the expanded sample
-            # indices stay strictly sorted and unique (scatter promises)
-            fill = bidx >= n_blocks
-            base = jnp.where(
-                fill, n_blocks + jnp.arange(nb, dtype=bidx.dtype), bidx
+    def make_compact(k):
+        def compact(_):
+            if use_blocks:
+                nb = k // _BLOCK
+                (bidx,) = jnp.nonzero(blk_any, size=nb, fill_value=n_blocks)
+                # make fill entries distinct ascending so the expanded sample
+                # indices stay strictly sorted and unique (scatter promises)
+                fill = bidx >= n_blocks
+                base = jnp.where(
+                    fill, n_blocks + jnp.arange(nb, dtype=bidx.dtype), bidx
+                )
+                idx = (
+                    base[:, None] * _BLOCK
+                    + jnp.arange(_BLOCK, dtype=bidx.dtype)[None, :]
+                ).reshape(-1)
+                safe_idx = jnp.minimum(idx, n - 1)
+                in_buf = (idx < n) & jnp.take(valid_f, safe_idx)
+            else:
+                (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
+                in_buf = idx < n
+                safe_idx = jnp.minimum(idx, n - 1)
+            cc = jnp.take(coords_f, safe_idx, axis=0)
+            sig_k, app_k = compute_features_fused(config, params, cc)
+
+            # dense sigma via scalar scatter (out-of-range rows dropped)
+            if use_blocks:
+                sig_dense = jnp.zeros((n,), sig_k.dtype).at[idx].set(
+                    jnp.where(in_buf, sig_k, 0.0), mode="drop",
+                    unique_indices=True, indices_are_sorted=True,
+                )
+            else:
+                sig_dense = jnp.zeros((n + 1,), sig_k.dtype).at[
+                    jnp.where(in_buf, idx, n)
+                ].set(sig_k, mode="drop", unique_indices=True,
+                      indices_are_sorted=True)[:n]
+            sigma = jnp.where(
+                valid_f.reshape(n_rays, s),
+                feature2density(config, sig_dense.reshape(n_rays, s)), 0.0,
             )
-            idx = (
-                base[:, None] * _BLOCK
-                + jnp.arange(_BLOCK, dtype=bidx.dtype)[None, :]
-            ).reshape(-1)
-            safe_idx = jnp.minimum(idx, n - 1)
-            in_buf = (idx < n) & jnp.take(valid_f, safe_idx)
-        else:
-            (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
-            in_buf = idx < n
-            safe_idx = jnp.minimum(idx, n - 1)
-        cc = jnp.take(coords_f, safe_idx, axis=0)
-        sig_k, app_k = compute_features_fused(config, params, cc)
+            alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
 
-        # dense sigma via scalar scatter (out-of-range rows dropped)
-        if use_blocks:
-            sig_dense = jnp.zeros((n,), sig_k.dtype).at[idx].set(
-                jnp.where(in_buf, sig_k, 0.0), mode="drop",
-                unique_indices=True, indices_are_sorted=True,
+            # back to compacted space: per-slot weight + threshold mask
+            w_k = jnp.take(weight.reshape(-1), safe_idx) * in_buf
+            m_k = (w_k > thres).astype(app_k.dtype)
+            contrib = app_k * (w_k * m_k)[:, None]          # [k, A]
+
+            # sorted-segment sums via cumsum + per-ray boundary gathers
+            csum = jnp.concatenate(
+                [jnp.zeros((1, app_dim), contrib.dtype),
+                 jnp.cumsum(contrib, axis=0)], axis=0,
+            )                                               # [k+1, A]
+            mcount = jnp.concatenate(
+                [jnp.zeros((1,), m_k.dtype), jnp.cumsum(m_k)], axis=0
             )
-        else:
-            sig_dense = jnp.zeros((n + 1,), sig_k.dtype).at[
-                jnp.where(in_buf, idx, n)
-            ].set(sig_k, mode="drop", unique_indices=True,
-                  indices_are_sorted=True)[:n]
-        sigma = jnp.where(
-            valid_f.reshape(n_rays, s),
-            feature2density(config, sig_dense.reshape(n_rays, s)), 0.0,
-        )
-        alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
+            bounds = jnp.searchsorted(
+                idx, jnp.arange(n_rays + 1, dtype=idx.dtype) * s
+            )                                               # [N+1]
+            cum_app = jnp.take(csum, bounds[1:], axis=0) - jnp.take(
+                csum, bounds[:-1], axis=0
+            )
+            rays_any = (
+                jnp.take(mcount, bounds[1:]) - jnp.take(mcount, bounds[:-1])
+            ) > 0
+            return (sigma, alpha, weight, jnp.sum(weight, -1), cum_app,
+                    rays_any)
 
-        # back to compacted space: per-slot weight + threshold mask
-        w_k = jnp.take(weight.reshape(-1), safe_idx) * in_buf
-        m_k = (w_k > thres).astype(app_k.dtype)
-        contrib = app_k * (w_k * m_k)[:, None]          # [k, A]
+        return compact
 
-        # sorted-segment sums via cumsum + per-ray boundary gathers
-        csum = jnp.concatenate(
-            [jnp.zeros((1, app_dim), contrib.dtype),
-             jnp.cumsum(contrib, axis=0)], axis=0,
-        )                                               # [k+1, A]
-        mcount = jnp.concatenate(
-            [jnp.zeros((1,), m_k.dtype), jnp.cumsum(m_k)], axis=0
-        )
-        bounds = jnp.searchsorted(
-            idx, jnp.arange(n_rays + 1, dtype=idx.dtype) * s
-        )                                               # [N+1]
-        cum_app = jnp.take(csum, bounds[1:], axis=0) - jnp.take(
-            csum, bounds[:-1], axis=0
-        )
-        rays_any = (
-            jnp.take(mcount, bounds[1:]) - jnp.take(mcount, bounds[:-1])
-        ) > 0
-        return (sigma, alpha, weight, jnp.sum(weight, -1), cum_app, rays_any)
-
-    if k >= n:
+    if not ks:
         return dense(None)
     # checkpoint: without it autodiff saves each branch's broadcast temps as
     # residuals, which TPU tile-padding can inflate ~128x -> OOM
-    return jax.lax.cond(
-        fits, jax.checkpoint(compact), jax.checkpoint(dense), None
-    )
+    branches = [jax.checkpoint(make_compact(k)) for k in ks]
+    branches.append(jax.checkpoint(dense))
+    which = sum((count > lim).astype(jnp.int32) for lim in limits)
+    return jax.lax.switch(which, branches, None)
 
 
 def render_rays(
@@ -315,14 +330,15 @@ def render_rays(
 
     coords = normalize_coord(config, xyz)
     if mask is not None:
-        compact_ratio = (config.compact_ratio if is_train
-                         else config.compact_ratio_eval)
+        ratios = ((config.compact_ratio,) if is_train
+                  else tuple(config.compact_ratios_eval))
     else:
-        compact_ratio = config.compact_ratio_unmasked
-    if config.use_fused_eval and compact_ratio > 0:
+        ratios = (config.compact_ratio_unmasked,)
+    ratios = tuple(r for r in ratios if r > 0)
+    if config.use_fused_eval and ratios:
         (sigma, alpha, weight, acc_map, cum_app_features,
          rays_to_consider) = _compact_march(
-            config, params, coords, ray_valid, dists, compact_ratio
+            config, params, coords, ray_valid, dists, ratios
         )
     else:
         if config.use_fused_eval:
@@ -363,6 +379,29 @@ def render_rays(
         + (1.0 - acc_map) * rays_chunk[..., -1]
     )
     return rgb_map, depth_map, acc_map, alpha, z_vals, dists
+
+
+def ray_span_steps(config: FieldConfig, rays: jnp.ndarray,
+                   n_samples: int) -> jnp.ndarray:
+    """Per-ray upper bound on the number of leading samples of
+    ``sample_ray``'s march that can be AABB-valid (0 = certain miss).
+
+    Drives the eval renderer's active-ray compaction (render_chunked):
+    sample i of ray r is valid iff z_i = t_enter + i*step lies in the slab
+    interval [t_min, t_max], so ceil((t_max - t_enter)/step) bounds the last
+    valid index. +3 slack covers float rounding at the slab boundaries AND
+    guarantees the final sample of a truncated march (whose dist is the
+    zero pad) is invalid — truncation is then exact w.r.t. the full-length
+    march. The bound is only ever required to be an UPPER bound; extra
+    samples are masked identically to the full march."""
+    aabb = jnp.asarray(config.aabb_np)
+    near, far = config.near_far
+    t_min, t_max = _aabb_t_range(aabb, rays[:, :3], rays[:, 3:6])
+    t_enter = jnp.clip(t_min, near, far)
+    step = config.step_size
+    steps = jnp.ceil((t_max - t_enter) / step).astype(jnp.int32) + 3
+    hit = t_max >= t_enter - step
+    return jnp.where(hit, jnp.clip(steps, 1, n_samples), 0)
 
 
 def filtering_rays_bbox(config: FieldConfig, rays: jnp.ndarray) -> jnp.ndarray:

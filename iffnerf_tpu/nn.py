@@ -46,7 +46,9 @@ def mlp_init(key, dims: list[int], zero_last_bias: bool = False,
     ]
     if zero_last_bias:
         layers[-1]["b"] = jnp.zeros_like(layers[-1]["b"])
-    return layers
+    # tuple so checkpoint round-trips (checkpoint._unflatten emits tuples)
+    # are structural no-ops
+    return tuple(layers)
 
 
 def mlp_apply(layers, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:

@@ -11,8 +11,8 @@ Layout is TPU-first: feature channels live on the *last* (lane) axis —
 planes are ``[H, W, C]``, lines are ``[L, C]``, volumes are ``[D, H, W]`` (scalar) —
 so each gathered texel is a contiguous lane vector and the surrounding
 interpolation arithmetic vectorizes on the VPU. The gathers lower to XLA
-dynamic-gather; the fused VM field kernel (ops/pallas_vm.py) supersedes these
-in the hot path.
+dynamic-gather; the footprint-packed layout (ops/packed_sample.py) supersedes
+these in the hot path.
 """
 
 from __future__ import annotations

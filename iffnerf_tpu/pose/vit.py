@@ -78,6 +78,9 @@ def init_vit(key, config: ViTConfig = ViTConfig()):
                 "ls2": jnp.full(d, config.layerscale_init),
             }
         )
+    # tuple so checkpoint round-trips (checkpoint._unflatten) are
+    # structural no-ops
+    params["blocks"] = tuple(params["blocks"])
     return params
 
 
@@ -178,4 +181,5 @@ def convert_torch_dinov2(state_dict, config: ViTConfig = ViTConfig()):
                 "ls2": jnp.asarray(sd[f"{b}.ls2.gamma"]),
             }
         )
+    params["blocks"] = tuple(params["blocks"])
     return params

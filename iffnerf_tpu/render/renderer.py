@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from iffnerf_tpu.models.field import AlphaMask, FieldConfig
-from iffnerf_tpu.models.render import render_rays
+from iffnerf_tpu.models.render import ray_span_steps, render_rays
 from iffnerf_tpu.utils.metrics import mse2psnr, rgb_ssim, rgb_lpips
 
 
@@ -36,17 +36,97 @@ def _render_chunk(config: FieldConfig, params, mask, has_mask: bool,
     return rgb, depth
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_samples"))
+def _ray_span_steps_jit(config: FieldConfig, rays, n_samples: int):
+    return ray_span_steps(config, rays, n_samples)
+
+
+def _span_buckets(s_full: int):
+    """Descending sample-count buckets (halvings of the full march length).
+    Each bucket is one compiled program; chunks dispatch to the smallest
+    bucket covering their longest ray."""
+    buckets = [s_full]
+    while buckets[-1] > 96:
+        buckets.append((buckets[-1] + 1) // 2)
+    return buckets
+
+
+def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
+                          white_bg, mesh):
+    """Render the given rays (already restricted to AABB hits) in
+    descending-span order, each chunk at the smallest sample-count bucket
+    covering its rays. Returns (rgb [N,3], depth [N]) as numpy, in the
+    INPUT order."""
+    steps_np = np.asarray(ray_steps)
+    order = np.argsort(-steps_np, kind="stable")
+    sorted_rays = jnp.take(rays, jnp.asarray(order), axis=0)
+    buckets = _span_buckets(config.n_samples)
+
+    n = sorted_rays.shape[0]
+    rgb_out = np.empty((n, 3), np.float32)
+    depth_out = np.empty((n,), np.float32)
+    for i in range(0, n, chunk):
+        part = sorted_rays[i:i + chunk]
+        if part.shape[0] < chunk:
+            part = jnp.pad(part, ((0, chunk - part.shape[0]), (0, 0)),
+                           mode="edge")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            part = jax.device_put(part, NamedSharding(mesh, P("data")))
+        need = int(steps_np[order[i]])  # descending -> chunk max
+        s_bucket = next(b for b in reversed(buckets) if b >= need)
+        rgb, depth = _render_chunk(
+            config, params, mask, mask is not None, part, white_bg, False,
+            s_bucket,
+        )
+        take = min(chunk, n - i)
+        idx = order[i:i + take]
+        rgb_out[idx] = np.asarray(rgb[:take])
+        depth_out[idx] = np.asarray(depth[:take])
+    return rgb_out, depth_out
+
+
 def render_chunked(config: FieldConfig, params, mask: AlphaMask | None,
                    rays, chunk: int = 4096, n_samples: int = -1,
                    white_bg: bool = False, ndc_ray: bool = False,
                    mesh=None):
     """rays [N, 6|7] -> (rgb [N, 3], depth [N]) — the counterpart of
-    ``OctreeRender_trilinear_fast`` (reference renderer.py:12-25)."""
+    ``OctreeRender_trilinear_fast`` (reference renderer.py:12-25).
+
+    For AABB-contracted non-NDC renders, rays are compacted to the AABB
+    hits and span-sorted so each chunk marches only as many samples as its
+    longest ray needs (a handful of pre-compiled sample-count buckets) —
+    misses get the exact miss output (bg color, depth = rays[:, -1]) without
+    touching the field. Exact w.r.t. the flat full-length march: dropped
+    samples are invalid in both, see models/render.ray_span_steps."""
     rays = jnp.asarray(rays)
     n = rays.shape[0]
     if mesh is not None:
         chunk = max(chunk, mesh.size)
         chunk = (chunk // mesh.size) * mesh.size
+
+    compactable = (
+        not ndc_ray
+        and config.contraction_type == "aabb"
+        and n_samples <= 0
+        and n > 0
+    )
+    if compactable:
+        steps = np.asarray(_ray_span_steps_jit(config, rays, config.n_samples))
+        hit = np.nonzero(steps > 0)[0]
+        bg = 1.0 if white_bg else 0.0
+        rgb_out = np.full((n, 3), bg, np.float32)
+        depth_out = np.array(rays[:, -1], np.float32)
+        if hit.size:
+            hit_j = jnp.asarray(hit)
+            rgb_hit, depth_hit = _render_sorted_chunks(
+                config, params, mask, jnp.take(rays, hit_j, axis=0),
+                steps[hit], chunk, white_bg, mesh,
+            )
+            rgb_out[hit] = rgb_hit
+            depth_out[hit] = depth_hit
+        return jnp.asarray(rgb_out), jnp.asarray(depth_out)
 
     rgbs, depths = [], []
     for i in range(0, n, chunk):

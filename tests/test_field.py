@@ -328,12 +328,13 @@ def test_compacted_render_matches_dense():
     rays = jnp.asarray(rays)
 
     outs = {}
-    for ratio in (0.0, 0.5, 0.01):  # dense, compact, forced-overflow
-        cfg = FieldConfig(**cfg_base, compact_ratio=ratio)
-        outs[ratio] = render_rays(cfg, params, mask, rays, is_train=False,
-                                  white_bg=True)
-    for ratio in (0.5, 0.01):
-        for a, b in zip(outs[0.0], outs[ratio]):
+    # dense, compact, forced-overflow, and multi-k count dispatch
+    for ratios in ((), (0.5,), (0.01,), (0.01, 0.05, 0.5)):
+        cfg = FieldConfig(**cfg_base, compact_ratios_eval=ratios)
+        outs[ratios] = render_rays(cfg, params, mask, rays, is_train=False,
+                                   white_bg=True)
+    for ratios in ((0.5,), (0.01,), (0.01, 0.05, 0.5)):
+        for a, b in zip(outs[()], outs[ratios]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
@@ -356,14 +357,14 @@ def test_compacted_gradients_match_dense():
     rays = jnp.asarray(rays)
     target = jnp.asarray(RNG.uniform(0, 1, (32, 3)).astype(np.float32))
 
-    def loss(p, ratio):
-        cfg = FieldConfig(**cfg_base, compact_ratio=ratio)
+    def loss(p, ratios):
+        cfg = FieldConfig(**cfg_base, compact_ratios_eval=ratios)
         rgb, *_ = render_rays(cfg, p, mask, rays, is_train=False,
                               white_bg=True)
         return jnp.mean((rgb - target) ** 2)
 
-    g_dense = jax.grad(lambda p: loss(p, 0.0))(params)
-    g_comp = jax.grad(lambda p: loss(p, 0.5))(params)
+    g_dense = jax.grad(lambda p: loss(p, ()))(params)
+    g_comp = jax.grad(lambda p: loss(p, (0.5,)))(params)
     for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_comp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)

@@ -49,6 +49,44 @@ def test_sharded_render_matches_single(small_field):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_active_ray_compaction_matches_flat(small_field):
+    """The eval renderer's AABB-hit compaction + span-bucketed sample
+    counts must be exact vs the flat full-length march (miss rays included),
+    with and without an alpha mask."""
+    from iffnerf_tpu.models.field import make_alpha_mask
+
+    cfg, params = small_field
+    rays = _rays(700)  # mix of hits and misses; non-multiple chunk
+    vol = (RNG.uniform(0, 1, (9, 9, 9)) < 0.4).astype(np.float32)
+    mask = make_alpha_mask(jnp.asarray(vol),
+                           np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]]))
+
+    for m in (None, mask):
+        # n_samples > 0 disables compaction -> the flat reference path
+        rgb1, depth1 = render_chunked(cfg, params, m, rays, chunk=256,
+                                      n_samples=cfg.n_samples, white_bg=True)
+        rgb2, depth2 = render_chunked(cfg, params, m, rays, chunk=256,
+                                      white_bg=True)
+        np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth1), np.asarray(depth2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_active_ray_compaction_sharded(small_field):
+    cfg, params = small_field
+    rays = _rays(1000)
+    mesh = make_mesh()
+    rgb1, depth1 = render_chunked(cfg, params, None, rays, chunk=512,
+                                  white_bg=True)
+    rgb2, depth2 = render_chunked(cfg, params, None, rays, chunk=512,
+                                  white_bg=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth1), np.asarray(depth2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dryrun_multichip_trains():
     import importlib.util
     import os

@@ -31,12 +31,23 @@ def add_pose_args(parser):
     parser.add_argument("--resume", default=None)
     parser.add_argument("--exp_patch", type=str, required=True)
     parser.add_argument("--out_path", type=str, required=True)
-    parser.add_argument("--resize_factor", type=float, default=1.0)
+    # resize_factor / starting_pose_strategy are accepted for CLI parity;
+    # the reference parses both but its pose driver never reads them
+    # (args.py:26,40; resize_factor is only read by the standalone iNeRF
+    # image helper at inerf/estimate_pose_inerf.py:198-211).
+    parser.add_argument("--resize_factor", type=float, default=1.0,
+                        help="accepted for reference-CLI parity (unused, "
+                             "as in the reference driver)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--algorithm_type", type=str, default="inerf")
     parser.add_argument("--starting_pose_strategy", type=str,
-                        default="histogram_comparison")
-    parser.add_argument("--limit_categories", type=str, nargs="+", default=[])
+                        default="histogram_comparison",
+                        help="accepted for reference-CLI parity (unused, "
+                             "as in the reference driver)")
+    parser.add_argument("--limit_categories", type=str, nargs="+", default=[],
+                        help="restrict the per-object loop to these "
+                             "sequence ids (reference args.py:46 parses "
+                             "this but never applies it; we do)")
     # TPU-build extras (no torch.hub at runtime):
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="npz of converted DINOv2 ViT-S/14 weights "
@@ -47,6 +58,11 @@ def add_pose_args(parser):
                              "training from scratch (no pretrained weights)")
     parser.add_argument("--gen_points", type=int, default=20000)
     parser.add_argument("--accum_steps", type=int, default=32)
+    parser.add_argument("--pose_f32", action="store_true",
+                        help="run single-image pose inference in float32; "
+                             "default is bfloat16 matmul inputs (f32 "
+                             "accumulation) — the configuration bench.py "
+                             "measures")
 
 
 def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
@@ -120,10 +136,17 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
         np.asarray(train_dataset.poses)[:, :3, 1].mean(axis=0)
     )
 
+    # Inference runs bf16 by default (same params; compute_dtype only casts
+    # matmul inputs — the configuration bench.py measures). --pose_f32 opts out.
+    import dataclasses as _dc
+
+    test_config = id_config if args.pose_f32 else _dc.replace(
+        id_config, compute_dtype="bfloat16")
+
     print("Testing performances on same points...")
     np.random.seed(starting_seed)
     _, val_t, val_a, val_s, val_r = test_pose_estimation(
-        test_dataset, id_params, id_config, rays_ori, rays_dirs, rays_rgb,
+        test_dataset, id_params, test_config, rays_ori, rays_dirs, rays_rgb,
         model_up, sequence_id=sequence_id,
         inerf_refinement=inerf_refinement, nerf=nerf,
     )
@@ -134,7 +157,7 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
     np.random.seed(starting_seed)
     rays_ori, rays_dirs, rays_rgb = gen()
     results, test_t, test_a, test_s, test_r = test_pose_estimation(
-        test_dataset, id_params, id_config, rays_ori, rays_dirs, rays_rgb,
+        test_dataset, id_params, test_config, rays_ori, rays_dirs, rays_rgb,
         model_up, sequence_id=sequence_id,
         inerf_refinement=inerf_refinement, nerf=nerf,
     )
@@ -161,6 +184,9 @@ def main():
 
     results = []
     for exp in parse_exp_dir(args.exp_patch, suffix).values():
+        if args.limit_categories and \
+                exp["sequence_id"] not in args.limit_categories:
+            continue
         data_path = os.path.join(args.datadir, exp["sequence_id"])
         if not os.path.isdir(data_path):
             data_path = args.datadir
