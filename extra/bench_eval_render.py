@@ -31,23 +31,29 @@ from iffnerf_tpu.render import render_chunked
 from iffnerf_tpu.data.rays_np import ray_directions_Ks_np, rays_with_radii_np
 
 
-def build_scene(grid: int):
+def build_scene(grid: int, extent: float = 1.5):
+    """300^3 lego-ranks field over an AABB of +-extent with a
+    spherical-shell occupancy mask (~9% of the sample window valid, like a
+    trained lego). extent=1.5 reproduces the round-1 measurements (every
+    800x800 ray hits the box); extent~0.6 gives a lego-like post-shrink
+    box (hit fraction ~0.45 at the blender camera)."""
     cfg = FieldConfig(
         grid_size=(grid, grid, grid),
+        aabb=((-extent,) * 3, (extent,) * 3),
         density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48), app_dim=27,
         shading_mode="Ref", near_far=(2.0, 6.0), step_ratio=0.5,
         feature_c=128, view_pe=2, fea_pe=2,
     )
     params = init_field(jax.random.PRNGKey(0), cfg)
 
-    # spherical-shell occupancy: |r - 0.55| < 0.12 in aabb units of 1.5
+    # spherical-shell occupancy: |r - 0.55e| < 0.12e
     g = 200
-    lin = np.linspace(-1.5, 1.5, g, dtype=np.float32)
+    lin = np.linspace(-extent, extent, g, dtype=np.float32)
     zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
     r = np.sqrt(xx**2 + yy**2 + zz**2)
-    vol = (np.abs(r - 0.825) < 0.18).astype(np.float32)
+    vol = (np.abs(r - 0.55 * extent) < 0.12 * extent).astype(np.float32)
     mask = make_alpha_mask(jnp.asarray(vol),
-                           np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]],
+                           np.array([[-extent] * 3, [extent] * 3],
                                     np.float32))
     return cfg, params, mask
 
@@ -81,13 +87,15 @@ def camera_rays(h=800, w=800, dist=4.0311):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=300)
+    ap.add_argument("--extent", type=float, default=1.5,
+                    help="AABB half-extent (0.6 = lego-like hit fraction)")
     ap.add_argument("--images", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--flat", action="store_true",
                     help="force the flat full-length march (round-1 path)")
     args = ap.parse_args()
 
-    cfg, params, mask = build_scene(args.grid)
+    cfg, params, mask = build_scene(args.grid, args.extent)
     rays = camera_rays()
     print(f"grid {args.grid}^3, n_samples {cfg.n_samples}, "
           f"rays {rays.shape[0]}, chunk {args.chunk}")

@@ -96,7 +96,10 @@ class FieldConfig:
     # that fits (lax.switch in _compact_march) — the span-bucketed chunks
     # of render_chunked see occupancies from ~8% up to ~70%, so a single
     # worst-case k either overflows to dense or wastes k-proportional work.
-    compact_ratios_eval: tuple = (0.125, 0.25, 0.5, 0.75)
+    # Feature eval is ~58 ns/slot whether or not slots are filled (measured
+    # extra/microbench_feature_eval.py), so intermediate steps pay for
+    # themselves; the sorted chunks touch only 2-3 branches per image.
+    compact_ratios_eval: tuple = (0.125, 0.1875, 0.25, 0.375, 0.5, 0.75)
 
     @property
     def use_fused_eval(self) -> bool:
@@ -372,10 +375,16 @@ def compute_features_fused(config: FieldConfig, params, xyz: jnp.ndarray):
     if n <= FUSED_EVAL_CHUNK:
         sigma, app = eval_block(flat)
     else:
+        # balanced slices: ceil-divide into equal slices near the target
+        # size instead of fixed 1M slices — fixed slices quantize the work
+        # to a slice multiple (k=1.06M padded to 2M cost 199 ms vs the
+        # ~105 ms its samples need; measured extra/decompose_eval.py)
         n_chunks = -(-n // FUSED_EVAL_CHUNK)
-        padded = jnp.pad(flat, ((0, n_chunks * FUSED_EVAL_CHUNK - n), (0, 0)))
+        slice_n = -(-n // n_chunks)
+        slice_n = ((slice_n + 127) // 128) * 128
+        padded = jnp.pad(flat, ((0, n_chunks * slice_n - n), (0, 0)))
         sigma, app = jax.lax.map(
-            eval_block, padded.reshape(n_chunks, FUSED_EVAL_CHUNK, 3)
+            eval_block, padded.reshape(n_chunks, slice_n, 3)
         )
         sigma = sigma.reshape(-1)[:n]
         app = app.reshape(-1, config.app_dim)[:n]

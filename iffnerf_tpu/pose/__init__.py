@@ -24,6 +24,10 @@ from iffnerf_tpu.pose.id_module import (
     test_image,
     distance_based_score_loss,
 )
-from iffnerf_tpu.pose.solve import estimate_pose_single, solve_pose_from_topk
+from iffnerf_tpu.pose.solve import (
+    estimate_pose_single,
+    estimate_pose_single_sharded,
+    solve_pose_from_topk,
+)
 from iffnerf_tpu.pose.trainer import train_id_module, make_id_train_step
 from iffnerf_tpu.pose.test import test_pose_estimation

@@ -183,25 +183,55 @@ def ray_features(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
     return linear_apply(_cast_linear(params["ray_mlp2"][1], dt), h)
 
 
-def run_attention(params, config: IDConfig, img, mask, rays_ori, rays_dir,
-                  rays_rgb):
-    """-> (scores [N_rays], attention [P, N_rays], patch_valid [P],
-    features_img [P, D]) (identification_module.py:162-168: per-ray score is
-    the sum of its softmaxed attention column over foreground patches)."""
+def image_queries(params, config: IDConfig, img, mask):
+    """Image-side half of the scoring: -> (q [P, D] in the compute dtype,
+    patch_valid [P], features_img [P, D])."""
     feats_w_pe, patch_valid, feats = image_features(params, config, img, mask)
-    feats_rays = ray_features(params, config, rays_ori, rays_dir, rays_rgb)
-
     dt = jnp.dtype(config.compute_dtype)
     q = linear_apply(_cast_linear(params["q_proj"], dt),
                      feats_w_pe.astype(dt))             # [P, D]
+    return q, patch_valid, feats
+
+
+def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
+               rays_rgb, axis_name: str | None = None):
+    """Ray-side scoring for a (shard of the) candidate set: K projection,
+    QK^T logits, softmax over the ray axis, validity-weighted column sum
+    (identification_module.py:162-168). When ``axis_name`` is given the rays
+    are a shard of a mesh axis and the softmax max/sum statistics reduce
+    over it (per-shard [P] vectors — the only cross-device traffic), making
+    the sharded scores exactly the full softmax's.
+
+    Returns (scores [R], attention [P, R])."""
+    feats_rays = ray_features(params, config, rays_ori, rays_dir, rays_rgb)
+    dt = jnp.dtype(config.compute_dtype)
     k = linear_apply(_cast_linear(params["k_proj"], dt),
                      feats_rays.astype(dt))             # [R, D]
     logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(
         q.shape[-1]
     )                                                   # [P, R] f32
-    attention = jax.nn.softmax(logits, axis=-1)
+    m = jnp.max(logits, axis=-1)
+    if axis_name is not None:
+        m = jax.lax.pmax(m, axis_name)
+    e = jnp.exp(logits - m[:, None])
+    denom = jnp.sum(e, axis=-1)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
+    attention = e / denom[:, None]
     scores = jnp.sum(
         jnp.where(patch_valid[:, None], attention, 0.0), axis=0
+    )
+    return scores, attention
+
+
+def run_attention(params, config: IDConfig, img, mask, rays_ori, rays_dir,
+                  rays_rgb):
+    """-> (scores [N_rays], attention [P, N_rays], patch_valid [P],
+    features_img [P, D]) (identification_module.py:162-168: per-ray score is
+    the sum of its softmaxed attention column over foreground patches)."""
+    q, patch_valid, feats = image_queries(params, config, img, mask)
+    scores, attention = score_rays(
+        params, config, q, patch_valid, rays_ori, rays_dir, rays_rgb
     )
     return scores, attention, patch_valid, feats
 

@@ -22,7 +22,12 @@ from iffnerf_tpu.pose.geometry import (
     exclude_negatives,
     make_rotation_mat,
 )
-from iffnerf_tpu.pose.id_module import IDConfig, run_attention
+from iffnerf_tpu.pose.id_module import (
+    IDConfig,
+    image_queries,
+    run_attention,
+    score_rays,
+)
 
 
 def solve_pose_from_topk(ori_k: jnp.ndarray, dirs_k: jnp.ndarray,
@@ -74,5 +79,50 @@ def estimate_pose_single(params, config: IDConfig, img, mask, rays_ori,
     weights_k, idx = jax.lax.top_k(scores, k)
     c2w = solve_pose_from_topk(
         rays_ori[idx], rays_dirs[idx], weights_k, model_up
+    )
+    return c2w, scores, idx, weights_k
+
+
+@functools.partial(jax.jit, static_argnames=("config", "k", "mesh"))
+def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
+                                 rays_ori, rays_dirs, rays_rgb, model_up,
+                                 mesh, k: int = 100):
+    """``estimate_pose_single`` with the candidate-ray axis sharded over
+    ``mesh``'s 'data' axis (SURVEY.md §5): each device embeds and scores its
+    ray shard, the softmax statistics reduce with two [P]-vector
+    collectives, every shard takes a local top-k, and the merged global
+    top-k feeds the closed-form solve. The image path (DINO features)
+    runs replicated — it is a fixed 224x224 cost vs 540k rays.
+
+    The ray count must divide by the mesh size (540000 = 20000 points x 27
+    isocell dirs divides any power-of-two mesh up to 32). Exact up to float
+    reduction order vs the single-device path."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n = rays_ori.shape[0]
+    assert n % mesh.size == 0, (n, mesh.size)
+
+    q, patch_valid, _ = image_queries(params, config, img, mask)
+
+    def shard_fn(params, q, patch_valid, ro, rd, rr):
+        scores, _ = score_rays(params, config, q, patch_valid, ro, rd, rr,
+                               axis_name="data")
+        w_loc, i_loc = jax.lax.top_k(scores, k)
+        gidx = i_loc + jax.lax.axis_index("data") * ro.shape[0]
+        return scores, w_loc, gidx
+
+    scores, w_cand, gidx_cand = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_rep=False,
+    )(params, q, patch_valid, rays_ori, rays_dirs, rays_rgb)
+
+    weights_k, sel = jax.lax.top_k(w_cand, k)        # merge shard top-k's
+    idx = jnp.take(gidx_cand, sel)
+    c2w = solve_pose_from_topk(
+        jnp.take(rays_ori, idx, axis=0), jnp.take(rays_dirs, idx, axis=0),
+        weights_k, model_up,
     )
     return c2w, scores, idx, weights_k

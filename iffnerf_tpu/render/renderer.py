@@ -65,6 +65,7 @@ def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
     n = sorted_rays.shape[0]
     rgb_out = np.empty((n, 3), np.float32)
     depth_out = np.empty((n,), np.float32)
+    pending = []  # keep results on device until all chunks are dispatched
     for i in range(0, n, chunk):
         part = sorted_rays[i:i + chunk]
         if part.shape[0] < chunk:
@@ -80,7 +81,8 @@ def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
             config, params, mask, mask is not None, part, white_bg, False,
             s_bucket,
         )
-        take = min(chunk, n - i)
+        pending.append((i, min(chunk, n - i), rgb, depth))
+    for i, take, rgb, depth in pending:
         idx = order[i:i + take]
         rgb_out[idx] = np.asarray(rgb[:take])
         depth_out[idx] = np.asarray(depth[:take])

@@ -87,6 +87,43 @@ def test_active_ray_compaction_sharded(small_field):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_pose_estimate_matches_single():
+    """Candidate-ray-sharded scoring + per-shard top-k merge must match the
+    single-device estimate (SURVEY.md §5 sharding design)."""
+    from iffnerf_tpu.pose import (
+        IDConfig, estimate_pose_single, estimate_pose_single_sharded,
+        init_id_module,
+    )
+    from iffnerf_tpu.pose.vit import ViTConfig
+
+    cfg = IDConfig(backbone=ViTConfig(img_size=28, patch_size=14, dim=32,
+                                      depth=1, num_heads=4),
+                   resize_size=32, crop_size=28)
+    params = init_id_module(jax.random.PRNGKey(0), cfg)
+    n = 1600  # divisible by the 8-device mesh
+    rays_ori = jnp.asarray(RNG.uniform(-1, 1, (n, 3)).astype(np.float32))
+    d = RNG.standard_normal((n, 3)).astype(np.float32)
+    rays_dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rays_rgb = jnp.asarray(RNG.uniform(0, 1, (n, 3)).astype(np.float32))
+    img = jnp.asarray(RNG.uniform(0, 1, (48, 48, 3)).astype(np.float32))
+    mask = jnp.ones((48, 48), jnp.float32)
+    up = jnp.asarray([0.0, 0.0, 1.0])
+
+    c2w1, scores1, idx1, w1 = estimate_pose_single(
+        params, cfg, img, mask, rays_ori, rays_dirs, rays_rgb, up, k=32
+    )
+    mesh = make_mesh()
+    c2w2, scores2, idx2, w2 = estimate_pose_single_sharded(
+        params, cfg, img, mask, rays_ori, rays_dirs, rays_rgb, up,
+        mesh=mesh, k=32,
+    )
+    np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores2),
+                               rtol=1e-5, atol=1e-6)
+    assert set(np.asarray(idx1).tolist()) == set(np.asarray(idx2).tolist())
+    np.testing.assert_allclose(np.asarray(c2w1), np.asarray(c2w2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_dryrun_multichip_trains():
     import importlib.util
     import os
