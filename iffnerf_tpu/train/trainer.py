@@ -439,6 +439,22 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     writer = make_summary_writer(logfolder)
     psnrs, psnrs_test = [], [0.0]
     t_start = time.perf_counter()
+    # per-phase timing (phases = segments between alpha-mask/upsample
+    # events; reference prints only the total, train.py:416-426)
+    phase_log = []
+    phase_state = {"it0": 0, "t0": t_start}
+
+    def mark_phase(event: str):
+        now = time.perf_counter()
+        iters = it + 1 - phase_state["it0"]
+        if iters > 0:
+            phase_log.append(
+                (phase_state["it0"], it + 1, config.grid_size, iters,
+                 now - phase_state["t0"], event)
+            )
+        phase_state["it0"] = it + 1
+        phase_state["t0"] = now
+
     it = -1
     while it + 1 < args.n_iters:
         if train_scan:
@@ -513,6 +529,9 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                               global_step=it)
 
         if it + 1 in update_mask_list:
+            mark_phase("alpha-mask update"
+                       + (" + shrink" if it + 1 == update_mask_list[0]
+                          else ""))
             reso_mask = reso_cur
             if reso_cur[0] * reso_cur[1] * reso_cur[2] > 256 ** 3:
                 reso_mask = [256, 256, 256]
@@ -546,6 +565,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             scan_cache.clear()
 
         if it + 1 in upsample_list:
+            mark_phase("upsample")
             n_voxels = n_voxel_list.pop(0)
             reso_cur = N_to_reso(n_voxels, config.aabb_np)
             n_samples = min(args.nSamples,
@@ -561,7 +581,14 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             step_fn = build_step()
             scan_cache.clear()
 
+    mark_phase("end")
     total_s = time.perf_counter() - t_start
+    for it0, it1, grid, iters, secs, event in phase_log:
+        log_fn(
+            f"phase it {it0:05d}-{it1:05d} grid {grid} "
+            f"{iters} iters {secs:.1f}s ({1000 * secs / iters:.2f} ms/it) "
+            f"-> {event}"
+        )
     log_fn(f"total training time: {total_s:.1f}s "
            f"({1000 * total_s / max(args.n_iters, 1):.2f} ms/it)")
 
