@@ -73,6 +73,20 @@ def test_active_ray_compaction_matches_flat(small_field):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_active_ray_compaction_all_miss(small_field):
+    """An image where every ray misses the AABB returns pure background
+    without touching the field."""
+    cfg, params = small_field
+    rays_o = np.full((100, 3), 5.0, np.float32)
+    rays_d = np.tile(np.array([1.0, 0, 0], np.float32), (100, 1))
+    rays = np.concatenate([rays_o, rays_d,
+                           0.01 * np.ones((100, 1), np.float32)], -1)
+    rgb, depth = render_chunked(cfg, params, None, rays, chunk=64,
+                                white_bg=True)
+    np.testing.assert_allclose(np.asarray(rgb), 1.0)
+    np.testing.assert_allclose(np.asarray(depth), rays[:, -1])
+
+
 def test_active_ray_compaction_sharded(small_field):
     cfg, params = small_field
     rays = _rays(1000)
