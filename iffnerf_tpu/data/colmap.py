@@ -117,10 +117,14 @@ def read_intrinsics_text(path: str) -> dict:
 def read_extrinsics_text(path: str) -> dict:
     images = {}
     with open(path) as fid:
+        # keep blank lines: entries are (header, points2D) PAIRS and the
+        # points line is legitimately empty for images without 2D points —
+        # dropping blanks would misalign every following pair
         lines = [
-            ln.strip() for ln in fid
-            if ln.strip() and not ln.strip().startswith("#")
+            ln.strip() for ln in fid if not ln.strip().startswith("#")
         ]
+        while lines and not lines[-1]:
+            lines.pop()
     for i in range(0, len(lines), 2):
         elems = lines[i].split()
         image_id = int(elems[0])
