@@ -19,16 +19,26 @@ from iffnerf_tpu.pose.id_module import (
     IDConfig,
     distance_based_score_loss,
 )
-from iffnerf_tpu.pose.solve import estimate_pose_single
+from iffnerf_tpu.pose.solve import (
+    estimate_pose_single,
+    estimate_pose_single_sharded,
+)
 
 
 def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
                          rays_dirs, rays_rgb, model_up, sequence_id: str = "",
                          compute_loss: bool = True, inerf_refinement: bool = False,
-                         nerf=None, k: int = 100, log_fn=print):
+                         nerf=None, k: int = 100, log_fn=print, mesh=None):
     """Returns (results, avg_translation_error, avg_angular_error,
-    avg_loss_score, avg_recall)."""
+    avg_loss_score, avg_recall). With ``mesh`` the candidate-ray axis of
+    the scoring is sharded over its data axis (the ray count must divide
+    the mesh size; 20000 points x 27 isocell dirs divides any
+    power-of-two mesh up to 32)."""
     model_up = model_up / jnp.linalg.norm(model_up)
+    if mesh is not None and rays_ori.shape[0] % mesh.size != 0:
+        log_fn(f"pose mesh disabled: {rays_ori.shape[0]} rays not divisible "
+               f"by mesh size {mesh.size}")
+        mesh = None
 
     translation_errors, angular_errors = [], []
     recalls, avg_loss_scores, results = [], [], []
@@ -53,10 +63,16 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
         # recall ~0; with the trained sign the solver geometry is identical
         # (line intersection is sign-invariant; exclude_negatives and the
         # watch direction want camera-pointing rays, which -dirs are).
-        c2w, scores, idx, weights = estimate_pose_single(
-            id_params, id_config, obs_img, mask_img, rays_ori, -rays_dirs,
-            rays_rgb, model_up, k=k,
-        )
+        if mesh is not None:
+            c2w, scores, idx, weights = estimate_pose_single_sharded(
+                id_params, id_config, obs_img, mask_img, rays_ori,
+                -rays_dirs, rays_rgb, model_up, mesh=mesh, k=k,
+            )
+        else:
+            c2w, scores, idx, weights = estimate_pose_single(
+                id_params, id_config, obs_img, mask_img, rays_ori,
+                -rays_dirs, rays_rgb, model_up, k=k,
+            )
 
         avg_score, recall = -1.0, -1.0
         if compute_loss:

@@ -143,12 +143,19 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
     test_config = id_config if args.pose_f32 else _dc.replace(
         id_config, compute_dtype="bfloat16")
 
+    # multi-device hosts shard the candidate-ray scoring over a data mesh
+    mesh = None
+    if jax.device_count() > 1:
+        from iffnerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
     print("Testing performances on same points...")
     np.random.seed(starting_seed)
     _, val_t, val_a, val_s, val_r = test_pose_estimation(
         test_dataset, id_params, test_config, rays_ori, rays_dirs, rays_rgb,
         model_up, sequence_id=sequence_id,
-        inerf_refinement=inerf_refinement, nerf=nerf,
+        inerf_refinement=inerf_refinement, nerf=nerf, mesh=mesh,
     )
     print("Val AVG translation error:", val_t)
     print("Val AVG angular error:", val_a)
@@ -159,7 +166,7 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
     results, test_t, test_a, test_s, test_r = test_pose_estimation(
         test_dataset, id_params, test_config, rays_ori, rays_dirs, rays_rgb,
         model_up, sequence_id=sequence_id,
-        inerf_refinement=inerf_refinement, nerf=nerf,
+        inerf_refinement=inerf_refinement, nerf=nerf, mesh=mesh,
     )
     print("Test AVG translation error:", test_t)
     print("Test AVG angular error:", test_a)
