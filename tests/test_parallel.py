@@ -138,6 +138,55 @@ def test_sharded_pose_estimate_matches_single():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_id_train_step_matches_single():
+    """The ID-module training step runs unmodified with the candidate-ray
+    axis sharded (GSPMD propagates the sharding; the softmax-over-rays
+    reductions become collectives) and matches the single-device update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iffnerf_tpu.pose import IDConfig, init_id_module
+    from iffnerf_tpu.pose.trainer import make_id_optimizer, make_id_train_step
+    from iffnerf_tpu.pose.vit import ViTConfig
+
+    cfg = IDConfig(backbone=ViTConfig(img_size=28, patch_size=14, dim=32,
+                                      depth=1, num_heads=4),
+                   resize_size=32, crop_size=28)
+    params = init_id_module(jax.random.PRNGKey(1), cfg)
+    n = 1600
+    rays_ori = jnp.asarray(RNG.uniform(-1, 1, (n, 3)).astype(np.float32))
+    d = RNG.standard_normal((n, 3)).astype(np.float32)
+    rays_dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rays_rgb = jnp.asarray(RNG.uniform(0, 1, (n, 3)).astype(np.float32))
+    imgs = jnp.asarray(RNG.uniform(0, 1, (2, 40, 40, 3)).astype(np.float32))
+    masks = jnp.ones((2, 40, 40), jnp.float32)
+    poses = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        + 0.01 * RNG.standard_normal((2, 4, 4)).astype(np.float32)
+    )
+
+    def run(ro, rd, rr, p):
+        tx = make_id_optimizer(p)
+        step = make_id_train_step(cfg, tx, accum_steps=2)
+        new_p, _, loss = step(p, tx.init(p), imgs, masks, poses,
+                              ro, rd, rr)
+        return new_p, loss
+
+    p1, loss1 = run(rays_ori, rays_dirs, rays_rgb,
+                    jax.tree.map(jnp.copy, params))
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    p2, loss2 = run(jax.device_put(rays_ori, sh),
+                    jax.device_put(rays_dirs, sh),
+                    jax.device_put(rays_rgb, sh),
+                    jax.device_put(jax.tree.map(jnp.copy, params),
+                                   NamedSharding(mesh, P())))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dryrun_multichip_trains():
     import importlib.util
     import os
