@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def render(cfg, params, mask, rays, flat: bool, chunk: int):
     kw = dict(chunk=chunk, white_bg=True)
     if flat:
-        kw["n_samples"] = cfg.n_samples
+        kw["active_rays"] = False
     t0 = time.perf_counter()
     rgb, depth = render_chunked(cfg, params, mask, rays, **kw)
     rgb = np.asarray(rgb)

@@ -102,7 +102,7 @@ def main():
 
     kw = dict(chunk=args.chunk, white_bg=True)
     if args.flat:
-        kw["n_samples"] = cfg.n_samples  # disables active-ray compaction
+        kw["active_rays"] = False
 
     # warm (compile) pass
     t0 = time.perf_counter()

@@ -54,7 +54,7 @@ def _span_buckets(s_full: int):
 
 
 def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
-                          white_bg, mesh):
+                          white_bg, mesh, s_full):
     """Render the given rays (already restricted to AABB hits) in
     descending-span order, each chunk at the smallest sample-count bucket
     covering its rays. Returns (rgb [N,3], depth [N]) as numpy, in the
@@ -62,7 +62,7 @@ def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
     steps_np = np.asarray(ray_steps)
     order = np.argsort(-steps_np, kind="stable")
     sorted_rays = jnp.take(rays, jnp.asarray(order), axis=0)
-    buckets = _span_buckets(config.n_samples)
+    buckets = _span_buckets(s_full)
 
     n = sorted_rays.shape[0]
     rgb_out = np.empty((n, 3), np.float32)
@@ -94,16 +94,17 @@ def _render_sorted_chunks(config, params, mask, rays, ray_steps, chunk,
 def render_chunked(config: FieldConfig, params, mask: AlphaMask | None,
                    rays, chunk: int = 4096, n_samples: int = -1,
                    white_bg: bool = False, ndc_ray: bool = False,
-                   mesh=None):
+                   mesh=None, active_rays: bool = True):
     """rays [N, 6|7] -> (rgb [N, 3], depth [N]) — the counterpart of
     ``OctreeRender_trilinear_fast`` (reference renderer.py:12-25).
 
-    For AABB-contracted non-NDC renders, rays are compacted to the AABB
-    hits and span-sorted so each chunk marches only as many samples as its
-    longest ray needs (a handful of pre-compiled sample-count buckets) —
-    misses get the exact miss output (bg color, depth = rays[:, -1]) without
-    touching the field. Exact w.r.t. the flat full-length march: dropped
-    samples are invalid in both, see models/render.ray_span_steps."""
+    For AABB-contracted non-NDC renders (``active_rays``, default), rays
+    are compacted to the AABB hits and span-sorted so each chunk marches
+    only as many samples as its longest ray needs (a handful of
+    pre-compiled sample-count buckets) — misses get the exact miss output
+    (bg color, depth = rays[:, -1]) without touching the field. Exact
+    w.r.t. the flat ``n_samples``-length march: dropped samples are invalid
+    in both, see models/render.ray_span_steps."""
     rays = jnp.asarray(rays)
     n = rays.shape[0]
     if mesh is not None:
@@ -111,13 +112,14 @@ def render_chunked(config: FieldConfig, params, mask: AlphaMask | None,
         chunk = (chunk // mesh.size) * mesh.size
 
     compactable = (
-        not ndc_ray
+        active_rays
+        and not ndc_ray
         and config.contraction_type == "aabb"
-        and n_samples <= 0
         and n > 0
     )
     if compactable:
-        steps = np.asarray(_ray_span_steps_jit(config, rays, config.n_samples))
+        s_full = n_samples if n_samples > 0 else config.n_samples
+        steps = np.asarray(_ray_span_steps_jit(config, rays, s_full))
         hit = np.nonzero(steps > 0)[0]
         bg = 1.0 if white_bg else 0.0
         rgb_out = np.full((n, 3), bg, np.float32)
@@ -126,7 +128,7 @@ def render_chunked(config: FieldConfig, params, mask: AlphaMask | None,
             hit_j = jnp.asarray(hit)
             rgb_hit, depth_hit = _render_sorted_chunks(
                 config, params, mask, jnp.take(rays, hit_j, axis=0),
-                steps[hit], chunk, white_bg, mesh,
+                steps[hit], chunk, white_bg, mesh, s_full,
             )
             rgb_out[hit] = rgb_hit
             depth_out[hit] = depth_hit

@@ -62,9 +62,8 @@ def test_active_ray_compaction_matches_flat(small_field):
                            np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]]))
 
     for m in (None, mask):
-        # n_samples > 0 disables compaction -> the flat reference path
         rgb1, depth1 = render_chunked(cfg, params, m, rays, chunk=256,
-                                      n_samples=cfg.n_samples, white_bg=True)
+                                      white_bg=True, active_rays=False)
         rgb2, depth2 = render_chunked(cfg, params, m, rays, chunk=256,
                                       white_bg=True)
         np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2),
