@@ -75,6 +75,9 @@ def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex",
             "LPIPS requires the `lpips` package (and its pretrained weights); "
             "not available in this environment"
         ) from e
+    if not hasattr(lpips, "LPIPS"):
+        # an importable-but-empty `lpips` (e.g. a test stub in sys.modules)
+        raise RuntimeError("`lpips` module present but unusable (no LPIPS)")
     if net_name not in _LPIPS_CACHE:
         _LPIPS_CACHE[net_name] = (
             lpips.LPIPS(net=net_name, version="0.1").eval().to(device)
