@@ -100,6 +100,37 @@ def test_active_ray_compaction_sharded(small_field):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ray_span_steps_upper_bound(small_field):
+    """ray_span_steps must upper-bound the last AABB-valid sample of
+    sample_ray's march for every ray — jittered (train) and not — since the
+    active-ray renderer truncates each chunk's march at the bucket covering
+    this bound and claims exactness vs the full-length march."""
+    from iffnerf_tpu.models.render import ray_span_steps, sample_ray
+
+    cfg, _ = small_field
+    rays = jnp.asarray(_rays(3000))
+    n_samples = 48
+    steps = np.asarray(ray_span_steps(cfg, rays, n_samples))
+    assert steps.min() >= 0 and steps.max() <= n_samples
+
+    for is_train in (False, True):
+        _, _, valid = sample_ray(
+            cfg, rays[:, :3], rays[:, 3:6],
+            key=jax.random.PRNGKey(3) if is_train else None,
+            is_train=is_train, n_samples=n_samples,
+        )
+        valid = np.asarray(valid[:, :n_samples])
+        last_valid = np.where(
+            valid.any(axis=1), n_samples - np.argmax(valid[:, ::-1], axis=1),
+            0,
+        )  # 1-based index of the last valid sample; 0 when none
+        assert (steps >= last_valid).all(), (
+            f"bound violated on {int((steps < last_valid).sum())} rays"
+        )
+        # steps == 0 must certify a miss (no valid sample at all)
+        assert not valid[steps == 0].any()
+
+
 def test_sharded_pose_estimate_matches_single():
     """Candidate-ray-sharded scoring + per-shard top-k merge must match the
     single-device estimate (SURVEY.md §5 sharding design)."""
