@@ -115,6 +115,10 @@ def build_argparse() -> argparse.ArgumentParser:
     parser.add_argument("--idx_view", type=int, default=0)
     # TPU-build extra: device-resident multi-step training (lax.scan chunks)
     parser.add_argument("--train_scan", type=int, default=0)
+    # TPU-build extra: probe the alpha-mask-valid sample fraction at phase
+    # boundaries and size the train step's static compaction buffer to it
+    # (exact either way — oversized batches fall back to the dense branch)
+    parser.add_argument("--adaptive_compact", type=int, default=1)
     parser.add_argument("--N_vis", type=int, default=5)
     parser.add_argument("--vis_every", type=int, default=10000)
     return parser

@@ -59,6 +59,45 @@ class SimpleSampler:
         return self.ids[self.curr:self.curr + self.batch]
 
 
+# candidate static compaction-buffer sizes (fractions of a batch's samples)
+# for the occupancy probe below; the train step compiles with ONE of these
+_COMPACT_LADDER = (0.046875, 0.0625, 0.09375, 0.125, 0.1875, 0.25)
+
+
+def probe_compact_ratio(config: FieldConfig, mask, allrays, key, *,
+                        n_samples: int, batch_size: int, cap: float,
+                        n_batches: int = 4, margin: float = 1.3):
+    """Measure the alpha-mask-valid sample fraction over a few training-size
+    ray batches and return (smallest ladder ratio covering the observed max
+    with ``margin``, observed max) — or (None, max) when nothing below
+    ``cap`` fits. Runs at phase boundaries, which are recompile events
+    anyway, so sizing the buffer per phase costs no extra compiles.
+    Exactness never depends on the choice: a batch that overflows the
+    static buffer takes _compact_march's dense fallback branch."""
+    pool = allrays.shape[0]
+    bs = min(batch_size, pool)
+
+    @jax.jit
+    def frac(rays, k):
+        xyz, _, valid = sample_ray(config, rays[:, :3], rays[:, 3:6],
+                                   key=k, is_train=True, n_samples=n_samples)
+        valid = valid & (sample_alpha(mask, xyz) > 0)
+        return jnp.mean(valid.astype(jnp.float32))
+
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+    )
+    worst = 0.0
+    for i in range(n_batches):
+        idx = rng.choice(pool, bs, replace=False)
+        k = jax.random.fold_in(key, i)
+        worst = max(worst, float(frac(jnp.asarray(allrays[idx]), k)))
+    for r in _COMPACT_LADDER:
+        if r >= worst * margin:
+            return (r, worst) if r < cap else (None, worst)
+    return None, worst
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -412,6 +451,10 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # between host events instead of one dispatch per iteration
     train_scan = bool(int(getattr(args, "train_scan", 0) or 0))
     scan_cache: dict = {}
+    # occupancy-adaptive compaction: size the masked step's static buffer to
+    # the measured valid fraction at each phase boundary (--adaptive_compact)
+    adaptive_compact = bool(int(getattr(args, "adaptive_compact", 1) or 0))
+    base_compact_ratio = config.compact_ratio
 
     def build_scan(steps):
         if steps not in scan_cache:
@@ -561,6 +604,18 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                                         seed=seed + it)
                 rays_dev = jnp.asarray(allrays)
                 rgbs_dev = jnp.asarray(allrgbs)
+            if (adaptive_compact and not ndc_ray
+                    and config.contraction_type == "aabb"):
+                key, probe_key = jax.random.split(key)
+                new_ratio, frac = probe_compact_ratio(
+                    config, mask, allrays, probe_key, n_samples=n_samples,
+                    batch_size=batch_size, cap=base_compact_ratio,
+                )
+                if new_ratio is not None:
+                    config = dataclasses.replace(config,
+                                                 compact_ratio=new_ratio)
+                log_fn(f"compaction probe: valid fraction {frac:.3f} -> "
+                       f"compact_ratio {config.compact_ratio}")
             step_fn = build_step()
             scan_cache.clear()
 

@@ -114,3 +114,52 @@ def test_train_scan_mode_matches(fixture_scene, tmp_path):
         white_bg=True, compute_extra_metrics=False,
     )
     assert float(np.mean(psnrs)) > 18.0, psnrs
+
+
+def test_probe_compact_ratio_low_occupancy():
+    """The phase-boundary occupancy probe must pick a ladder buffer that
+    covers the measured valid fraction with margin, and decline when the
+    fraction is too high for anything below the cap."""
+    import jax.numpy as jnp
+
+    from iffnerf_tpu.models import FieldConfig, init_field
+    from iffnerf_tpu.models.field import make_alpha_mask
+    from iffnerf_tpu.train.trainer import _COMPACT_LADDER, probe_compact_ratio
+
+    cfg = FieldConfig(grid_size=(24, 24, 24), density_n_comp=(4, 4, 4),
+                      app_n_comp=(8, 8, 8), app_dim=9, shading_mode="Ref",
+                      feature_c=16, view_pe=2, fea_pe=2, step_ratio=1.0)
+    g = 33
+    lin = np.linspace(-1.5, 1.5, g, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+    sparse = make_alpha_mask(
+        jnp.asarray((r < 0.25).astype(np.float32)),
+        np.array([[-1.5] * 3, [1.5] * 3], np.float32),
+    )
+
+    # rays from a radius-4 shell aimed at the box center: every ray hits
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([-4.0 * d, d, 0.01 * np.ones((2048, 1), np.float32)],
+                          -1)
+
+    ratio, frac = probe_compact_ratio(
+        cfg, sparse, rays, jax.random.PRNGKey(0),
+        n_samples=cfg.n_samples, batch_size=512, cap=0.25,
+    )
+    assert 0.0 < frac < 0.15
+    assert ratio in _COMPACT_LADDER and ratio < 0.25
+    assert ratio >= frac * 1.3
+
+    # a dense mask leaves nothing below the cap -> probe declines
+    dense = make_alpha_mask(
+        jnp.ones((g, g, g), jnp.float32),
+        np.array([[-1.5] * 3, [1.5] * 3], np.float32),
+    )
+    ratio2, frac2 = probe_compact_ratio(
+        cfg, dense, rays, jax.random.PRNGKey(0),
+        n_samples=cfg.n_samples, batch_size=512, cap=0.25,
+    )
+    assert ratio2 is None and frac2 > 0.2
