@@ -119,6 +119,11 @@ def build_argparse() -> argparse.ArgumentParser:
     # boundaries and size the train step's static compaction buffer to it
     # (exact either way — oversized batches fall back to the dense branch)
     parser.add_argument("--adaptive_compact", type=int, default=1)
+    # TPU-build extra: resume a crashed run at a phase boundary from the
+    # auto-saved <expname>_phase.npz (pass it as --ckpt). Adam moments
+    # restart fresh at the decayed LR, like the reference's own phase
+    # re-inits (train.py:401-415).
+    parser.add_argument("--resume_iter", type=int, default=0)
     parser.add_argument("--N_vis", type=int, default=5)
     parser.add_argument("--vis_every", type=int, default=10000)
     return parser

@@ -429,7 +429,60 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     tv_d, tv_a = args.TV_weight_density, args.TV_weight_app
     rgb_channels = allrgbs.shape[-1]
 
-    state = make_optimizer(params, args.lr_init, args.lr_basis, lr_factor)
+    # occupancy-adaptive compaction: size the masked step's static buffer to
+    # the measured valid fraction at each phase boundary (--adaptive_compact)
+    adaptive_compact = bool(int(getattr(args, "adaptive_compact", 1) or 0))
+    base_compact_ratio = config.compact_ratio
+
+    def maybe_adapt_compact():
+        nonlocal config, key
+        if not (adaptive_compact and mask is not None and not ndc_ray
+                and config.contraction_type == "aabb"):
+            return
+        key, probe_key = jax.random.split(key)
+        new_ratio, frac = probe_compact_ratio(
+            config, mask, allrays, probe_key, n_samples=n_samples,
+            batch_size=batch_size, cap=base_compact_ratio,
+        )
+        if new_ratio is not None:
+            config = dataclasses.replace(config, compact_ratio=new_ratio)
+        log_fn(f"compaction probe: valid fraction {frac:.3f} -> "
+               f"compact_ratio {config.compact_ratio}")
+
+    # mid-schedule resume (--resume_iter N with --ckpt <expname>_phase.npz):
+    # restart at a phase boundary; Adam moments begin fresh at the decayed
+    # LR, exactly like the reference's own phase re-inits (train.py:401-415)
+    start_it = int(getattr(args, "resume_iter", 0) or 0)
+    lr_decay0 = 1.0
+    if start_it > 0:
+        if args.ckpt is None:
+            raise ValueError("--resume_iter requires --ckpt "
+                             "(the auto-saved phase checkpoint)")
+        for _ in range(sum(1 for u in upsample_list if u <= start_it)):
+            if n_voxel_list:
+                n_voxel_list.pop(0)
+        if update_mask_list and start_it >= update_mask_list[0]:
+            l1_weight = args.L1_weight_rest
+        tv_d *= lr_factor ** start_it
+        tv_a *= lr_factor ** start_it
+        reso_cur = list(config.grid_size)
+        n_samples = min(args.nSamples,
+                        cal_n_samples(config.grid_size, args.step_ratio))
+        if (mask is not None and not ndc_ray and len(update_mask_list) > 1
+                and start_it >= update_mask_list[1]):
+            allrays, allrgbs = filtering_rays_host(
+                config, allrays, allrgbs, mask=mask
+            )
+            sampler = SimpleSampler(allrays.shape[0], batch_size,
+                                    seed=seed + start_it)
+        if not (args.lr_upsample_reset and start_it in upsample_list):
+            lr_decay0 = lr_factor ** start_it
+        maybe_adapt_compact()
+        log_fn(f"resuming at it {start_it} (grid {config.grid_size}, "
+               f"{n_samples} samples, lr decay {lr_decay0:.4f})")
+
+    state = make_optimizer(params, args.lr_init * lr_decay0,
+                           args.lr_basis * lr_decay0, lr_factor)
 
     def build_step():
         return make_train_step(
@@ -451,10 +504,6 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # between host events instead of one dispatch per iteration
     train_scan = bool(int(getattr(args, "train_scan", 0) or 0))
     scan_cache: dict = {}
-    # occupancy-adaptive compaction: size the masked step's static buffer to
-    # the measured valid fraction at each phase boundary (--adaptive_compact)
-    adaptive_compact = bool(int(getattr(args, "adaptive_compact", 1) or 0))
-    base_compact_ratio = config.compact_ratio
 
     def build_scan(steps):
         if steps not in scan_cache:
@@ -485,7 +534,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # per-phase timing (phases = segments between alpha-mask/upsample
     # events; reference prints only the total, train.py:416-426)
     phase_log = []
-    phase_state = {"it0": 0, "t0": t_start}
+    phase_state = {"it0": start_it, "t0": t_start}
 
     def mark_phase(event: str):
         now = time.perf_counter()
@@ -498,7 +547,18 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
         phase_state["it0"] = it + 1
         phase_state["t0"] = now
 
-    it = -1
+    def save_phase_ckpt():
+        """Crash insurance at phase boundaries: restart with
+        --ckpt <expname>_phase.npz --resume_iter <it from phase_ckpt.json>."""
+        import json
+
+        save_field(f"{logfolder}/{args.expname or 'exp'}_phase.npz",
+                   config, params, mask)
+        with open(f"{logfolder}/phase_ckpt.json", "w") as f:
+            json.dump({"it": it + 1, "compact_ratio": config.compact_ratio},
+                      f)
+
+    it = start_it - 1
     while it + 1 < args.n_iters:
         if train_scan:
             next_stop = min(b for b in boundaries if b > it + 1)
@@ -510,15 +570,28 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 "tv_a": jnp.float32(tv_a),
             }
             run = build_scan(steps)
-            if mask is not None:
-                params, opt_state, weights, mses = run(
-                    params, opt_state, mask, rays_dev, rgbs_dev, scan_key,
-                    weights,
-                )
-            else:
-                params, opt_state, weights, mses = run(
-                    params, opt_state, rays_dev, rgbs_dev, scan_key, weights,
-                )
+            try:
+                if mask is not None:
+                    params, opt_state, weights, mses = run(
+                        params, opt_state, mask, rays_dev, rgbs_dev,
+                        scan_key, weights,
+                    )
+                else:
+                    params, opt_state, weights, mses = run(
+                        params, opt_state, rays_dev, rgbs_dev, scan_key,
+                        weights,
+                    )
+            except jax.errors.JaxRuntimeError as e:
+                # e.g. a remote-compile helper OOM-kill. A compile failure
+                # leaves the donated params/opt_state untouched (donation
+                # only happens at execution), so fall back to the per-step
+                # program — smaller, and often the only difference needed.
+                log_fn(f"scan program failed ({type(e).__name__}: "
+                       f"{str(e).splitlines()[0][:120]}); "
+                       "falling back to per-step mode")
+                scan_cache.clear()
+                train_scan = False
+                continue
             tv_d = tv_d * lr_factor ** steps
             tv_a = tv_a * lr_factor ** steps
             mse = mses[-1]
@@ -604,20 +677,10 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                                         seed=seed + it)
                 rays_dev = jnp.asarray(allrays)
                 rgbs_dev = jnp.asarray(allrgbs)
-            if (adaptive_compact and not ndc_ray
-                    and config.contraction_type == "aabb"):
-                key, probe_key = jax.random.split(key)
-                new_ratio, frac = probe_compact_ratio(
-                    config, mask, allrays, probe_key, n_samples=n_samples,
-                    batch_size=batch_size, cap=base_compact_ratio,
-                )
-                if new_ratio is not None:
-                    config = dataclasses.replace(config,
-                                                 compact_ratio=new_ratio)
-                log_fn(f"compaction probe: valid fraction {frac:.3f} -> "
-                       f"compact_ratio {config.compact_ratio}")
+            maybe_adapt_compact()
             step_fn = build_step()
             scan_cache.clear()
+            save_phase_ckpt()
 
         if it + 1 in upsample_list:
             mark_phase("upsample")
@@ -635,6 +698,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             opt_state = state.opt_state
             step_fn = build_step()
             scan_cache.clear()
+            save_phase_ckpt()
 
     mark_phase("end")
     total_s = time.perf_counter() - t_start
