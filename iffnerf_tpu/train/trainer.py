@@ -61,11 +61,16 @@ class SimpleSampler:
 
 # candidate static compaction-buffer sizes (fractions of a batch's samples)
 # for the occupancy probe below; the train step compiles with ONE of these
-_COMPACT_LADDER = (0.046875, 0.0625, 0.09375, 0.125, 0.1875, 0.25)
+_COMPACT_LADDER = (0.046875, 0.0625, 0.09375, 0.125, 0.1875, 0.25, 0.375,
+                   0.5)
+# above this valid fraction the compaction bookkeeping exceeds its savings
+# (measured on v5e at ~60% validity, BASELINE.md) -> march densely instead
+_COMPACT_CAP = 0.55
 
 
 def probe_compact_ratio(config: FieldConfig, mask, allrays, key, *,
-                        n_samples: int, batch_size: int, cap: float,
+                        n_samples: int, batch_size: int,
+                        cap: float = _COMPACT_CAP,
                         n_batches: int = 4, margin: float = 1.3):
     """Measure the alpha-mask-valid sample fraction over a few training-size
     ray batches and return (smallest ladder ratio covering the observed max
@@ -432,7 +437,6 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # occupancy-adaptive compaction: size the masked step's static buffer to
     # the measured valid fraction at each phase boundary (--adaptive_compact)
     adaptive_compact = bool(int(getattr(args, "adaptive_compact", 1) or 0))
-    base_compact_ratio = config.compact_ratio
 
     def maybe_adapt_compact():
         nonlocal config, key
@@ -442,10 +446,13 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
         key, probe_key = jax.random.split(key)
         new_ratio, frac = probe_compact_ratio(
             config, mask, allrays, probe_key, n_samples=n_samples,
-            batch_size=batch_size, cap=base_compact_ratio,
+            batch_size=batch_size,
         )
-        if new_ratio is not None:
-            config = dataclasses.replace(config, compact_ratio=new_ratio)
+        # no ladder buffer below the break-even cap covers the occupancy:
+        # march densely — constant fallback would only pay bookkeeping
+        config = dataclasses.replace(
+            config, compact_ratio=new_ratio if new_ratio is not None else 0.0
+        )
         log_fn(f"compaction probe: valid fraction {frac:.3f} -> "
                f"compact_ratio {config.compact_ratio}")
 
@@ -696,6 +703,8 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             state = make_optimizer(params, args.lr_init * lr_scale,
                                    args.lr_basis * lr_scale, lr_factor)
             opt_state = state.opt_state
+            # sample count grew with the grid: re-size the compaction buffer
+            maybe_adapt_compact()
             step_fn = build_step()
             scan_cache.clear()
             save_phase_ckpt()
