@@ -6,6 +6,7 @@ from iffnerf_tpu.geometry.rays import (
     get_ray_directions_blender,
     get_ray_directions_Ks,
     get_rays,
+    get_rays_lie,
     get_rays_simple,
     get_rays_from_parameters,
     ndc_rays_blender,

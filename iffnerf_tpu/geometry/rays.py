@@ -110,6 +110,25 @@ def get_rays(viewdirs, c2w, keepdim: bool = False, directions=None,
     return rays_o, rays_d
 
 
+def get_rays_lie(viewdirs, rotation, translation, keepdim: bool = False,
+                 directions=None, dx=None, dy=None):
+    """SE(3)-parameterized ray generation (reference ray_utils.py:103-145;
+    the kornia ``Se3`` argument becomes an explicit rotation [..., 3, 3] +
+    translation [..., 3] pair here). Differentiable w.r.t. both — pair with
+    ``inerf.camera_transfer`` (se(3) exp map) for pose-refinement paths.
+    Same output convention as ``get_rays``."""
+    assert viewdirs.shape[-1] == 3
+    c2w = jnp.concatenate(
+        [rotation, translation[..., :, None]], axis=-1
+    )
+    pad = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], c2w.dtype),
+        c2w.shape[:-2] + (1, 4),
+    )
+    return get_rays(viewdirs, jnp.concatenate([c2w, pad], axis=-2),
+                    keepdim=keepdim, directions=directions, dx=dx, dy=dy)
+
+
 def get_rays_simple(directions, c2w):
     """Loader-style world rays without radii
     (reference dataLoader/ray_utils.py:74-95). c2w is [3|4, 4]."""

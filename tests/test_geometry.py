@@ -120,3 +120,41 @@ def test_sample_pdf_det_parity():
         torch.from_numpy(bins), torch.from_numpy(weights), 12, det=True
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_get_rays_lie_matches_get_rays_and_differentiates():
+    """get_rays_lie (explicit R, t — the reference's kornia-Se3 variant,
+    ray_utils.py:103-145) must agree with get_rays on the equivalent c2w
+    and stay differentiable w.r.t. the pose for refinement paths."""
+    from iffnerf_tpu.geometry import get_rays_lie
+
+    h, w = 6, 8
+    K = np.array([[[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]]],
+                 np.float32)
+    dirs, dx, dy = get_ray_directions_Ks(h, w, jnp.asarray(K))
+    dirs, dx, dy = dirs[0], dx[0], dy[0]
+    viewdirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    th = 0.4
+    R = jnp.asarray(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+         [0, 0, 1.0]], jnp.float32,
+    )
+    t = jnp.asarray([0.3, -1.0, 4.0])
+    c2w = jnp.concatenate(
+        [jnp.concatenate([R, t[:, None]], -1),
+         jnp.asarray([[0, 0, 0, 1.0]])], 0,
+    )
+
+    o1, d1, r1 = get_rays(viewdirs, c2w, directions=dirs, dx=dx, dy=dy)
+    o2, d2, r2 = get_rays_lie(viewdirs, R, t, directions=dirs, dx=dx, dy=dy)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+    def loss(t):
+        o, d, _ = get_rays_lie(viewdirs, R, t, directions=dirs, dx=dx, dy=dy)
+        return jnp.sum(o) + jnp.sum(d)
+
+    g = jax.grad(loss)(t)
+    assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).sum()) > 0
