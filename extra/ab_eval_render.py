@@ -22,9 +22,10 @@ _runtime_setup()
 import jax
 
 from iffnerf_tpu.render import render_chunked
-from bench_eval_render import build_scene, camera_rays  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_eval_render import build_scene, camera_rays  # noqa: E402
 
 
 def render(cfg, params, mask, rays, flat: bool, chunk: int):

@@ -211,7 +211,9 @@ def load_torch_checkpoint(path: str):
             if b_key in sd:
                 layer["b"] = jnp.asarray(sd[b_key])
             layers.append(layer)
-        shading["mlp"] = layers
+        # tuple, not list: keeps the pytree structure identical to
+        # mlp_init's, so converted checkpoints round-trip structurally
+        shading["mlp"] = tuple(layers)
     params["shading"] = shading
 
     mask = None

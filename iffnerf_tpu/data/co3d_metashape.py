@@ -82,14 +82,17 @@ def load_co3d_metashape(datadir: str, split: str = "train",
             raise KeyError(f"annotated image {name} not in cameras.xml")
         i = by_name[name]
 
-        img = load_image(cameras["metashape_filenames"][i])
-        h, w = img.shape[:2]
+        path = cameras["metashape_filenames"][i]
         if downsample != 1.0:
-            img = load_image(
-                cameras["metashape_filenames"][i],
-                (int(w / downsample), int(h / downsample)),
-            )
-            h, w = img.shape[:2]
+            from PIL import Image
+
+            # .size reads the header only — no full-res decode
+            w0, h0 = Image.open(path).size
+            img = load_image(path, (int(w0 / downsample),
+                                    int(h0 / downsample)))
+        else:
+            img = load_image(path)
+        h, w = img.shape[:2]
         img_wh = (w, h)
 
         mask_path = cameras["metashape_masks"][i]

@@ -593,6 +593,14 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 # leaves the donated params/opt_state untouched (donation
                 # only happens at execution), so fall back to the per-step
                 # program — smaller, and often the only difference needed.
+                # An EXECUTION-time failure consumed the donated buffers:
+                # nothing to fall back with — re-raise (restart from the
+                # auto-saved phase checkpoint with --resume_iter).
+                if any(
+                    getattr(x, "is_deleted", lambda: False)()
+                    for x in jax.tree.leaves((params, opt_state))
+                ):
+                    raise
                 log_fn(f"scan program failed ({type(e).__name__}: "
                        f"{str(e).splitlines()[0][:120]}); "
                        "falling back to per-step mode")
@@ -680,7 +688,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 allrays, allrgbs = filtering_rays_host(
                     config, allrays, allrgbs, mask=mask
                 )
-                sampler = SimpleSampler(allrays.shape[0], args.batch_size,
+                sampler = SimpleSampler(allrays.shape[0], batch_size,
                                         seed=seed + it)
                 rays_dev = jnp.asarray(allrays)
                 rgbs_dev = jnp.asarray(allrgbs)

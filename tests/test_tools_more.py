@@ -173,3 +173,72 @@ def test_compute_metrics_dirs(tmp_path, capsys):
     compute_metrics.main(str(a), str(b))
     out = capsys.readouterr().out
     assert "PSNR" in out and "SSIM: 1.0000" in out
+
+
+def test_load_torch_checkpoint_structure(tmp_path):
+    """A converted reference .th checkpoint must produce the exact pytree
+    STRUCTURE of a natively initialized field (lists vs tuples matter:
+    jitted-program caches and donation signatures key on the treedef)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from iffnerf_tpu.checkpoint import load_torch_checkpoint
+    from iffnerf_tpu.models import FieldConfig, init_field
+
+    rng = np.random.default_rng(0)
+    g = (8, 9, 10)
+    nc, na, app_dim, feat_c = 2, 3, 6, 16
+    sd = {}
+    mats = {0: (g[1], g[0]), 1: (g[2], g[0]), 2: (g[2], g[1])}
+    vecs = {0: g[2], 1: g[1], 2: g[0]}
+    for i in range(3):
+        h, w = mats[i]
+        sd[f"density_plane.{i}"] = torch.from_numpy(
+            rng.standard_normal((1, nc, h, w)).astype(np.float32))
+        sd[f"app_plane.{i}"] = torch.from_numpy(
+            rng.standard_normal((1, na, h, w)).astype(np.float32))
+        sd[f"density_line.{i}"] = torch.from_numpy(
+            rng.standard_normal((1, nc, vecs[i], 1)).astype(np.float32))
+        sd[f"app_line.{i}"] = torch.from_numpy(
+            rng.standard_normal((1, na, vecs[i], 1)).astype(np.float32))
+    sd["basis_mat.weight"] = torch.from_numpy(
+        rng.standard_normal((app_dim, 3 * na)).astype(np.float32))
+    in_mlp = 2 * 2 * 3 + 2 * 2 * app_dim + 3 + app_dim  # view_pe/fea_pe=2
+    for i, (fin, fout) in zip((0, 2, 4),
+                              ((in_mlp, feat_c), (feat_c, feat_c),
+                               (feat_c, 3))):
+        sd[f"renderModule.mlp.{i}.weight"] = torch.from_numpy(
+            rng.standard_normal((fout, fin)).astype(np.float32))
+        sd[f"renderModule.mlp.{i}.bias"] = torch.from_numpy(
+            rng.standard_normal((fout,)).astype(np.float32))
+    ckpt = {
+        "model_name": "TensorVMSplit",
+        "kwargs": {
+            "aabb": np.array([[-1.5] * 3, [1.5] * 3], np.float32),
+            "gridSize": list(g),
+            "density_n_comp": [nc] * 3,
+            "appearance_n_comp": [na] * 3,
+            "app_dim": app_dim,
+            "shadingMode": "MLP_Fea",
+            "near_far": [2.0, 6.0],
+            "density_shift": -10.0,
+            "alphaMask_thres": 1e-4,
+            "distance_scale": 25.0,
+            "rayMarch_weight_thres": 1e-4,
+            "pos_pe": 6, "view_pe": 2, "fea_pe": 2,
+            "featureC": feat_c, "step_ratio": 2.0,
+            "fea2denseAct": "softplus",
+        },
+        "state_dict": sd,
+    }
+    path = str(tmp_path / "ref.th")
+    torch.save(ckpt, path)
+
+    config, params, mask = load_torch_checkpoint(path)
+    native = init_field(jax.random.PRNGKey(0), config)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(native))
+    for ours, ref in zip(jax.tree_util.tree_leaves(params),
+                         jax.tree_util.tree_leaves(native)):
+        assert ours.shape == ref.shape, (ours.shape, ref.shape)
