@@ -124,6 +124,9 @@ def build_argparse() -> argparse.ArgumentParser:
     # restart fresh at the decayed LR, like the reference's own phase
     # re-inits (train.py:401-415).
     parser.add_argument("--resume_iter", type=int, default=0)
+    # TPU-build extra: periodic mid-phase checkpoint cadence (iterations);
+    # bounds the work a crash or a wedged device connection can lose
+    parser.add_argument("--ckpt_every", type=int, default=2000)
     parser.add_argument("--N_vis", type=int, default=5)
     parser.add_argument("--vis_every", type=int, default=10000)
     return parser

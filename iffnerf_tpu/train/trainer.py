@@ -659,6 +659,11 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             writer.add_scalar("test/psnr", float(np.mean(psnrs_test)),
                               global_step=it)
 
+        ckpt_every = int(getattr(args, "ckpt_every", 0) or 0)
+        if (ckpt_every > 0 and (it + 1) % ckpt_every == 0
+                and it + 1 < args.n_iters):
+            save_phase_ckpt()
+
         if it + 1 in update_mask_list:
             mark_phase("alpha-mask update"
                        + (" + shrink" if it + 1 == update_mask_list[0]
