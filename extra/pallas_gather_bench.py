@@ -45,8 +45,11 @@ def pallas_gather(table, idx, tile: int = 512):
     def kernel(idx_ref, table_ref, out_ref):
         def body(scratch, sems):
             def get_dma(slot, row_i):
+                # scalar read from the prefetched (SMEM) index array: must
+                # index down to a single element, not an SMEM vector
+                row = idx_ref[pl.program_id(0), row_i]
                 return pltpu.make_async_copy(
-                    table_ref.at[idx_ref[row_i]],
+                    table_ref.at[row],
                     scratch.at[slot],
                     sems.at[slot],
                 )
@@ -87,13 +90,22 @@ def pallas_gather(table, idx, tile: int = 512):
 
 
 def timeit(fn, *args, n=10, label=""):
+    def pull(o):  # force completion: block_until_ready is unreliable
+        return float(jnp.sum(o[:8, :8]))  # through the axon relay
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    pull(out)
+    x = jnp.ones((8,))
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(jnp.sum(x + 1.0))
+    rtt = (time.perf_counter() - t0) / 3
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    pull(out)  # same-stream ordering: all n executions completed
+    dt = ((time.perf_counter() - t0) - rtt) / n
     return out, dt
 
 
