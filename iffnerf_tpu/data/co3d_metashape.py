@@ -98,10 +98,13 @@ def load_co3d_metashape(datadir: str, split: str = "train",
         mask_path = cameras["metashape_masks"][i]
         if os.path.exists(mask_path):
             m = load_image(mask_path, (w, h))
+            # reference order (co3d_metashape.py:146-152): threshold 0.3
+            # and ceil PER CHANNEL, then average — channels that disagree
+            # yield fractional alpha, which averaging-first would lose
+            m = np.ceil(np.where(m < 0.3, 0.0, m))
             if m.shape[-1] > 1:
                 m = np.mean(m, axis=-1, keepdims=True)
-            # threshold 0.3 then ceil -> binary (co3d_metashape.py:146-147)
-            mask = np.ceil(np.where(m < 0.3, 0.0, m)).astype(np.float32)
+            mask = m.astype(np.float32)
         else:
             mask = np.ones((h, w, 1), np.float32)
         rgbs_list.append(np.concatenate([img[..., :3], mask], axis=-1))

@@ -22,6 +22,38 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def get_shard_map():
+    """Version-portable ``shard_map``.
+
+    jax >= 0.8 exports ``jax.shard_map`` and renamed the ``check_rep``
+    kwarg to ``check_vma``; older versions live in ``jax.experimental``.
+    Callers always pass ``check_rep`` and this shim renames it only when
+    the resolved function actually wants ``check_vma`` (inspected from the
+    signature, so a top-level export that still accepts ``check_rep``
+    keeps working)."""
+    import inspect
+
+    try:
+        from jax import shard_map as _sm  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        params = inspect.signature(_sm).parameters
+        wants_vma = "check_vma" in params and "check_rep" not in params
+    except (ValueError, TypeError):  # pragma: no cover - C-level signature
+        wants_vma = True
+
+    if not wants_vma:
+        return _sm
+
+    def shard_map(f, **kw):
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _sm(f, **kw)
+
+    return shard_map
+
+
 def pad_to_multiple(arr, multiple: int, axis: int = 0):
     """Pad ``arr`` along ``axis`` to a multiple; returns (padded, orig_len)."""
     n = arr.shape[axis]

@@ -98,14 +98,9 @@ def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
     isocell dirs divides any power-of-two mesh up to 32). Exact up to float
     reduction order vs the single-device path."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map as _sm  # jax >= 0.8
 
-        def shard_map(f, **kw):  # check_rep was renamed check_vma
-            kw["check_vma"] = kw.pop("check_rep")
-            return _sm(f, **kw)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import get_shard_map
+    shard_map = get_shard_map()
 
     n = rays_ori.shape[0]
     assert n % mesh.size == 0, (n, mesh.size)

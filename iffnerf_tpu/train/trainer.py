@@ -94,7 +94,9 @@ def probe_compact_ratio(config: FieldConfig, mask, allrays, key, *,
     )
     worst = 0.0
     for i in range(n_batches):
-        idx = rng.choice(pool, bs, replace=False)
+        # with-replacement draw: duplicates are harmless for an occupancy
+        # estimate, and choice(replace=False) permutes the whole pool
+        idx = rng.integers(0, pool, bs)
         k = jax.random.fold_in(key, i)
         worst = max(worst, float(frac(jnp.asarray(allrays[idx]), k)))
     for r in _COMPACT_LADDER:
@@ -482,7 +484,15 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             )
             sampler = SimpleSampler(allrays.shape[0], batch_size,
                                     seed=seed + start_it)
-        if not (args.lr_upsample_reset and start_it in upsample_list):
+        if args.lr_upsample_reset:
+            # an uninterrupted run resets the LR at every upsample boundary
+            # (reference train.py:401-415), so a mid-phase resume must decay
+            # only from the LAST boundary at or before start_it — decaying
+            # from 0 would resume at e.g. ~0.54x instead of ~0.93x of lr_init
+            last_reset = max([0] + [u for u in upsample_list
+                                    if u <= start_it])
+            lr_decay0 = lr_factor ** (start_it - last_reset)
+        else:
             lr_decay0 = lr_factor ** start_it
         maybe_adapt_compact()
         log_fn(f"resuming at it {start_it} (grid {config.grid_size}, "
@@ -526,12 +536,17 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             )
         return scan_cache[steps]
 
+    _ckpt_every = int(getattr(args, "ckpt_every", 0) or 0)
     boundaries = sorted(
         set(update_mask_list) | set(upsample_list)
         | set(range(args.progress_refresh_rate, args.n_iters + 1,
                     args.progress_refresh_rate))
         | (set(range(args.vis_every, args.n_iters + 1, args.vis_every))
            if args.N_vis != 0 else set())
+        # scan stop points must land on ckpt_every multiples or the
+        # periodic checkpoint test below never fires in scan mode
+        | (set(range(_ckpt_every, args.n_iters + 1, _ckpt_every))
+           if _ckpt_every > 0 else set())
         | {args.n_iters}
     )
 
