@@ -96,20 +96,35 @@ def _xavier_linear(key, in_dim, out_dim):
 
 def _resize(img: jnp.ndarray, out_h: int, out_w: int,
             method: str) -> jnp.ndarray:
+    # antialias=True (the jax default) matches PIL / torchvision
+    # antialias=True resampling to ~3e-5 (tests/test_preprocess.py)
     return jax.image.resize(img, (out_h, out_w) + img.shape[2:], method)
+
+
+def _short_side_resize_shape(h: int, w: int, size: int):
+    """torchvision ``Resize(size)`` output shape: short side -> ``size``,
+    long side TRUNCATED (``int(size * long / short)``, not rounded) —
+    torchvision _compute_resized_output_size semantics."""
+    if h <= w:
+        return size, int(size * w / h)
+    return int(size * h / w), size
+
+
+def _center_crop_origin(n: int, crop: int) -> int:
+    """torchvision ``CenterCrop`` origin: ``int(round((n - crop) / 2.0))``
+    with Python banker's rounding (can differ from floor by 1 when
+    ``n - crop`` is odd)."""
+    return int(round((n - crop) / 2.0))
 
 
 def preprocess_image(config: IDConfig, img: jnp.ndarray) -> jnp.ndarray:
     """[H, W, 3] in [0,1] -> [224, 224, 3] bicubic-resized (short side 256),
     center-cropped, ImageNet-normalized."""
     h, w = img.shape[:2]
-    if h < w:
-        nh, nw = config.resize_size, int(round(w * config.resize_size / h))
-    else:
-        nh, nw = int(round(h * config.resize_size / w)), config.resize_size
+    nh, nw = _short_side_resize_shape(h, w, config.resize_size)
     img = _resize(img, nh, nw, "cubic")
-    top = (nh - config.crop_size) // 2
-    left = (nw - config.crop_size) // 2
+    top = _center_crop_origin(nh, config.crop_size)
+    left = _center_crop_origin(nw, config.crop_size)
     img = img[top:top + config.crop_size, left:left + config.crop_size]
     mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
     std = jnp.asarray(IMAGENET_STD, img.dtype)
@@ -122,13 +137,10 @@ def preprocess_mask(config: IDConfig, mask: jnp.ndarray) -> jnp.ndarray:
     identification_module.py:47-61,135)."""
     m = mask.astype(jnp.float32)[..., None]
     h, w = m.shape[:2]
-    if h < w:
-        nh, nw = config.resize_size, int(round(w * config.resize_size / h))
-    else:
-        nh, nw = int(round(h * config.resize_size / w)), config.resize_size
+    nh, nw = _short_side_resize_shape(h, w, config.resize_size)
     m = _resize(m, nh, nw, "linear")
-    top = (nh - config.crop_size) // 2
-    left = (nw - config.crop_size) // 2
+    top = _center_crop_origin(nh, config.crop_size)
+    left = _center_crop_origin(nw, config.crop_size)
     m = m[top:top + config.crop_size, left:left + config.crop_size]
     g = config.backbone.grid
     m = _resize(m, g, g, "linear")
