@@ -31,6 +31,32 @@ def flops_to_string(flops: float) -> str:
     return f"{flops:.0f} FLOPs"
 
 
+# TPU v5e (v5 lite) single-chip peaks. bf16 is the MXU native rate; f32
+# matmuls lower to multi-pass bf16 so the realistic f32 ceiling is ~half.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_F32 = 98e12
+V5E_HBM_GBS = 820.0
+
+
+def mfu_string(flops: float, ms: float, bytes_accessed: float | None = None
+               ) -> str:
+    """Achieved TFLOP/s and %-of-peak (MFU) for a measured program, plus
+    HBM-bandwidth utilization when XLA reports bytes accessed — the side
+    that's saturated tells you whether the program is compute- or
+    memory-bound (reference profile_performance.py:130-191 reports
+    FLOPs-vs-latency; this adds the hardware ceilings)."""
+    if not np.isfinite(flops) or ms <= 0:
+        return "MFU n/a"
+    tflops = flops / (ms * 1e-3) / 1e12
+    s = (f"{tflops:.1f} TFLOP/s = {tflops * 1e12 / V5E_PEAK_BF16 * 100:.1f}%"
+         f" of bf16 peak / {tflops * 1e12 / V5E_PEAK_F32 * 100:.1f}% of f32")
+    if bytes_accessed and np.isfinite(bytes_accessed):
+        gbs = bytes_accessed / (ms * 1e-3) / 1e9
+        s += (f"; {gbs:.0f} GB/s = {gbs / V5E_HBM_GBS * 100:.0f}% of HBM"
+              f" ({bytes_accessed / max(flops, 1):.2f} B/FLOP)")
+    return s
+
+
 def amortized_ms(fn, reps: int = 20) -> float:
     """Median wall time per call; amortizes host<->device round trips by
     timing ``reps`` dispatches between two fetches."""
@@ -54,9 +80,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    args = config_parser(known_only=True,
-                         extra_parser_hook=lambda p: p.add_argument(
-                             "--trace", type=str, default=None))
+    def _extra(p):
+        p.add_argument("--trace", type=str, default=None)
+        p.add_argument("--pose", type=int, default=1,
+                       help="also profile the jitted pose program")
+
+    args = config_parser(known_only=True, extra_parser_hook=_extra)
 
     from iffnerf_tpu.models import FieldConfig, init_field
     from iffnerf_tpu.models.render import render_rays
@@ -95,6 +124,7 @@ def main():
     fwd_ms = amortized_ms(lambda: fwd(params, rays))
     print(f"forward:  {flops_to_string(fwd_flops)}  {fwd_ms:.3f} ms "
           f"({n} rays x {n_samples} samples)")
+    print(f"          {mfu_string(fwd_flops, fwd_ms, fwd_cost.get('bytes accessed'))}")
 
     # ---- forward + backward (full train step) ----
     state = make_optimizer(params, args.lr_init, args.lr_basis, 0.9999)
@@ -125,7 +155,17 @@ def main():
         float(mse)
         ts.append((time.perf_counter() - t0) / 10 * 1000.0)
     step_ms = float(np.median(ts))
-    print(f"train step (fwd+bwd+adam): {step_ms:.3f} ms")
+    try:
+        step_cost = step_fn.lower(
+            jax.tree.map(jnp.array, params), state.opt_state, rays, rgbs,
+            idx, jax.random.PRNGKey(1), jnp.ones(3), weights,
+        ).compile().cost_analysis()
+    except Exception:  # pragma: no cover - older jax cost-analysis quirks
+        step_cost = {}
+    step_flops = step_cost.get("flops", float("nan"))
+    print(f"train step (fwd+bwd+adam): {step_ms:.3f} ms  "
+          f"{flops_to_string(step_flops)}")
+    print(f"          {mfu_string(step_flops, step_ms, step_cost.get('bytes accessed'))}")
 
     # ---- device-resident scan (no host round trips between steps) ----
     from iffnerf_tpu.train.trainer import make_train_scan
@@ -153,6 +193,41 @@ def main():
         ts.append((time.perf_counter() - t0) / scan_steps * 1000.0)
     print(f"train step (scan x{scan_steps}, device-resident): "
           f"{float(np.median(ts)):.3f} ms/it")
+
+    # ---- jitted pose program (bench.py's production configuration) ----
+    if args.pose:
+        import functools
+
+        from iffnerf_tpu.pose import IDConfig, init_id_module
+        from iffnerf_tpu.pose.id_module import run_attention
+        from iffnerf_tpu.pose.solve import solve_pose_from_topk
+
+        n_rays, k_top = 20000 * 27, 100
+        cfg = IDConfig(compute_dtype="bfloat16")
+        pkey = jax.random.PRNGKey(7)
+        pparams = init_id_module(pkey, cfg)
+        ks = jax.random.split(pkey, 4)
+        img = jax.random.uniform(ks[0], (800, 800, 3))
+        mask = jnp.ones((800, 800), bool)
+        r_o = jax.random.uniform(ks[1], (n_rays, 3), minval=-1, maxval=1)
+        rd = jax.random.normal(ks[2], (n_rays, 3))
+        r_d = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        r_rgb = jax.random.uniform(ks[3], (n_rays, 3))
+        up = jnp.asarray([0.0, 0.0, 1.0])
+
+        @jax.jit
+        def pose_once(pp, img, mask, ro, rd, rr):
+            scores, _, _, _ = run_attention(pp, cfg, img, mask, ro, rd, rr)
+            w_k, i_k = jax.lax.top_k(scores, k_top)
+            return solve_pose_from_topk(ro[i_k], rd[i_k], w_k, up)
+
+        pose_args = (pparams, img, mask, r_o, r_d, r_rgb)
+        pose_cost = pose_once.lower(*pose_args).compile().cost_analysis()
+        pose_flops = pose_cost.get("flops", float("nan"))
+        pose_ms = amortized_ms(lambda: pose_once(*pose_args))
+        print(f"pose program (540k rays, bf16): {pose_ms:.3f} ms  "
+              f"{flops_to_string(pose_flops)}")
+        print(f"          {mfu_string(pose_flops, pose_ms, pose_cost.get('bytes accessed'))}")
 
     if args.trace:
         with jax.profiler.trace(args.trace):
