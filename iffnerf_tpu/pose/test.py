@@ -25,6 +25,12 @@ from iffnerf_tpu.pose.solve import (
 )
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
                          rays_dirs, rays_rgb, model_up, sequence_id: str = "",
                          compute_loss: bool = True, inerf_refinement: bool = False,
@@ -45,7 +51,21 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
 
     n_images = len(dataset.all_rgbs)
     w, h = dataset.img_wh
+
+    # per-image latency (reference test.py:249-256 fills this with CUDA
+    # event timing): force completion with a host pull and subtract the
+    # measured round-trip floor — block_until_ready is unreliable through
+    # the axon relay (bench.py methodology)
+    @jax.jit
+    def _probe(x):
+        return x + 1.0
+
+    float(_probe(jnp.float32(0.0)))
+    rtt = float(np.median([_timed(lambda: float(_probe(jnp.float32(0.0))))
+                           for _ in range(5)]))
+
     t0 = time.perf_counter()
+    warmed = False
     for img_idx in range(n_images):
         pose = jnp.asarray(dataset.poses[img_idx])
         obs = jnp.asarray(dataset.all_rgbs[img_idx]).reshape(h, w, -1)
@@ -63,16 +83,24 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
         # recall ~0; with the trained sign the solver geometry is identical
         # (line intersection is sign-invariant; exclude_negatives and the
         # watch direction want camera-pointing rays, which -dirs are).
-        if mesh is not None:
-            c2w, scores, idx, weights = estimate_pose_single_sharded(
-                id_params, id_config, obs_img, mask_img, rays_ori,
-                -rays_dirs, rays_rgb, model_up, mesh=mesh, k=k,
-            )
-        else:
-            c2w, scores, idx, weights = estimate_pose_single(
+        def _estimate():
+            if mesh is not None:
+                return estimate_pose_single_sharded(
+                    id_params, id_config, obs_img, mask_img, rays_ori,
+                    -rays_dirs, rays_rgb, model_up, mesh=mesh, k=k,
+                )
+            return estimate_pose_single(
                 id_params, id_config, obs_img, mask_img, rays_ori,
                 -rays_dirs, rays_rgb, model_up, k=k,
             )
+
+        if not warmed:  # compile outside the per-image timing
+            np.asarray(_estimate()[0])
+            warmed = True
+        t_img = time.perf_counter()
+        c2w, scores, idx, weights = _estimate()
+        np.asarray(c2w)  # forced completion of the whole program
+        elapsed_ms = max(time.perf_counter() - t_img - rtt, 0.0) * 1000.0
 
         avg_score, recall = -1.0, -1.0
         if compute_loss:
@@ -120,7 +148,7 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
                 "loss": float(jnp.mean(weights)),
                 "scores_loss": avg_score,
                 "recall": recall,
-                "total_optimization_time_in_ms": 0.0,
+                "total_optimization_time_in_ms": elapsed_ms,
                 "pred_c2w": np.asarray(c2w).tolist(),
                 "gt_c2w": np.asarray(pose).tolist(),
             }
