@@ -46,6 +46,12 @@ class IDConfig:
     # HBM traffic of the candidate-ray matmuls at negligible score error —
     # use it for inference (bench.py does); training keeps float32.
     compute_dtype: str = "float32"
+    # single-pass Pallas kernel for the ray-side scoring chain (inference
+    # only — no gradient rule): fuses the 5 ray matmuls + logits + online
+    # softmax stats in VMEM instead of materializing ~6.7 GB of HBM
+    # intermediates (ops/fused_ray_attention.py). Falls back to the XLA
+    # path when the ray count has no suitable row-tile divisor.
+    fused_scoring: bool = False
 
     @property
     def img_num_features(self) -> int:
@@ -178,15 +184,22 @@ def _cast_linear(layer, dtype):
     return {k: v.astype(dtype) for k, v in layer.items()}
 
 
-def ray_features(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
-    """Skip-MLP ray embedding (ray_preprocessor.py:29-39). Runs in
-    ``config.compute_dtype`` (bf16 by default on the 540k-ray hot path)."""
+def ray_mlp_inputs(config: IDConfig, rays_ori, rays_dir, rays_rgb):
+    """[R, ray_in_dim] concatenated raw+PE inputs of the ray MLP, in the
+    compute dtype (ray_preprocessor.py:29-33)."""
     dt = jnp.dtype(config.compute_dtype)
     indata = [rays_ori, rays_dir, rays_rgb,
               positional_encoding(rays_ori, config.ray_pos_pe),
               positional_encoding(rays_dir, config.ray_view_pe),
               positional_encoding(rays_rgb, config.ray_rgb_pe)]
-    x = jnp.concatenate(indata, axis=-1).astype(dt)
+    return jnp.concatenate(indata, axis=-1).astype(dt)
+
+
+def ray_features(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
+    """Skip-MLP ray embedding (ray_preprocessor.py:29-39). Runs in
+    ``config.compute_dtype`` (bf16 by default on the 540k-ray hot path)."""
+    dt = jnp.dtype(config.compute_dtype)
+    x = ray_mlp_inputs(config, rays_ori, rays_dir, rays_rgb)
     h = x
     for layer in params["ray_mlp"]:
         h = jax.nn.relu(linear_apply(_cast_linear(layer, dt), h))

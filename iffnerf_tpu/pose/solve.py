@@ -25,9 +25,40 @@ from iffnerf_tpu.pose.geometry import (
 from iffnerf_tpu.pose.id_module import (
     IDConfig,
     image_queries,
+    ray_mlp_inputs,
     run_attention,
     score_rays,
 )
+
+
+def _fused_tile(r: int, target: int = 2160) -> int | None:
+    """Largest row-tile that divides ``r``, is a multiple of 8 (Mosaic f32
+    sublane tile), and is <= ``target``; None disables the fused path."""
+    best = None
+    for t in range(8, min(target, r) + 1, 8):
+        if r % t == 0:
+            best = t
+    return best
+
+
+def _scores_maybe_fused(params, config: IDConfig, img, mask, rays_ori,
+                        rays_dirs, rays_rgb):
+    """Candidate-ray scores via the fused Pallas kernel when enabled and
+    tileable, else the reference-shaped XLA path."""
+    tile = _fused_tile(rays_ori.shape[0]) if config.fused_scoring else None
+    if tile is None:
+        scores, _, _, _ = run_attention(
+            params, config, img, mask, rays_ori, rays_dirs, rays_rgb
+        )
+        return scores
+    from iffnerf_tpu.ops.fused_ray_attention import fused_ray_scores
+
+    q, patch_valid, _ = image_queries(params, config, img, mask)
+    x = ray_mlp_inputs(config, rays_ori, rays_dirs, rays_rgb)
+    return fused_ray_scores(
+        params, q, patch_valid, x, tile=tile,
+        interpret=jax.default_backend() != "tpu",
+    )
 
 
 def solve_pose_from_topk(ori_k: jnp.ndarray, dirs_k: jnp.ndarray,
@@ -73,7 +104,7 @@ def estimate_pose_single(params, config: IDConfig, img, mask, rays_ori,
                          rays_dirs, rays_rgb, model_up, k: int = 100):
     """Full single-image estimate. Returns (c2w [4,4], scores [N_rays],
     topk_idx [k], topk_weights [k])."""
-    scores, _, _, _ = run_attention(
+    scores = _scores_maybe_fused(
         params, config, img, mask, rays_ori, rays_dirs, rays_rgb
     )
     weights_k, idx = jax.lax.top_k(scores, k)
