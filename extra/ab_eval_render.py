@@ -28,10 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_eval_render import build_scene, camera_rays  # noqa: E402
 
 
-def render(cfg, params, mask, rays, flat: bool, chunk: int):
+def render(cfg, params, mask, rays, flat: bool, chunk: int,
+           gate: bool = True):
     kw = dict(chunk=chunk, white_bg=True)
     if flat:
         kw["active_rays"] = False
+    if not gate:
+        # kill switch: render_chunked skips the grouped-occupancy-gate
+        # auto-derivation and render_rays keeps the per-sample trilerp row
+        cfg = cfg.replace(mask_gate_group=-1)
     t0 = time.perf_counter()
     rgb, depth = render_chunked(cfg, params, mask, rays, **kw)
     rgb = np.asarray(rgb)
@@ -44,6 +49,12 @@ def main():
     ap.add_argument("--extent", type=float, default=1.5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument(
+        "--mode", choices=["march", "gate"], default="march",
+        help="march: round-1 flat vs active-ray renderer; gate: active-ray "
+             "renderer with the per-sample trilerp row vs the grouped "
+             "occupancy-gate bit rows",
+    )
     args = ap.parse_args()
 
     cfg, params, mask = build_scene(args.grid, args.extent)
@@ -51,25 +62,32 @@ def main():
     print(f"grid {args.grid}^3 extent {args.extent} "
           f"n_samples {cfg.n_samples}")
 
+    if args.mode == "march":
+        variants = (("flat", dict(flat=True)), ("new", dict(flat=False)))
+    else:
+        variants = (("nogate", dict(flat=False, gate=False)),
+                    ("gate", dict(flat=False, gate=True)))
+    (name_a, kw_a), (name_b, kw_b) = variants
+
     # compile both paths
     t0 = time.perf_counter()
-    _, rgb_flat = render(cfg, params, mask, rays, True, args.chunk)
-    print(f"flat compile+first: {time.perf_counter() - t0:.1f} s")
+    _, rgb_a = render(cfg, params, mask, rays, chunk=args.chunk, **kw_a)
+    print(f"{name_a} compile+first: {time.perf_counter() - t0:.1f} s")
     t0 = time.perf_counter()
-    _, rgb_new = render(cfg, params, mask, rays, False, args.chunk)
-    print(f"new  compile+first: {time.perf_counter() - t0:.1f} s")
-    diff = float(np.abs(rgb_flat - rgb_new).max())
-    print(f"max |flat - new| rgb diff: {diff:.2e}")
+    _, rgb_b = render(cfg, params, mask, rays, chunk=args.chunk, **kw_b)
+    print(f"{name_b}  compile+first: {time.perf_counter() - t0:.1f} s")
+    diff = float(np.abs(rgb_a - rgb_b).max())
+    print(f"max |{name_a} - {name_b}| rgb diff: {diff:.2e}")
 
-    ts = {"flat": [], "new": []}
+    ts = {name_a: [], name_b: []}
     for rep in range(args.reps):
-        for name, flat in (("flat", True), ("new", False)):
-            dt, _ = render(cfg, params, mask, rays, flat, args.chunk)
+        for name, kw in variants:
+            dt, _ = render(cfg, params, mask, rays, chunk=args.chunk, **kw)
             ts[name].append(dt)
             print(f"rep {rep} {name}: {dt:.2f} s")
-    f = float(np.median(ts["flat"]))
-    n = float(np.median(ts["new"]))
-    print(f"median flat {f:.2f} s/image | new {n:.2f} s/image | "
+    f = float(np.median(ts[name_a]))
+    n = float(np.median(ts[name_b]))
+    print(f"median {name_a} {f:.2f} s/image | {name_b} {n:.2f} s/image | "
           f"speedup {f / n:.2f}x")
 
 

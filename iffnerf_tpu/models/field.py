@@ -34,7 +34,9 @@ from iffnerf_tpu.ops.interpolate import resize_bilinear_ac, resize_linear_ac
 from iffnerf_tpu.ops.packed_sample import (
     pack_line,
     pack_plane,
+    occupancy_grouped,
     pack_volume,
+    pack_volume_bits,
     packed_bilerp,
     packed_lerp,
     packed_trilerp,
@@ -100,6 +102,11 @@ class FieldConfig:
     # extra/microbench_feature_eval.py), so intermediate steps pay for
     # themselves; the sorted chunks touch only 2-3 branches per image.
     compact_ratios_eval: tuple = (0.125, 0.1875, 0.25, 0.375, 0.5, 0.75)
+    # Alpha-mask occupancy gate: >= 1 routes render_rays' per-sample mask
+    # test through sample_alpha_gate with this many consecutive samples per
+    # gathered bit row (0 keeps the 8-lane trilerp row). Set per phase via
+    # gate_group_for — the value is only exact under that spacing bound.
+    mask_gate_group: int = 0
 
     @property
     def use_fused_eval(self) -> bool:
@@ -164,18 +171,30 @@ class AlphaMask:
     volume: jnp.ndarray
     aabb: jnp.ndarray
     packed: jnp.ndarray | None = None
+    # [D*H*W, L] uint32 neighborhood-bit rows: one gathered row answers the
+    # trilerp > 0 occupancy gate for a GROUP of consecutive ray samples
+    # (ops/packed_sample.py::occupancy_grouped) — the gate's gather count,
+    # its entire TPU cost, divides by the group size.
+    packed_bits: jnp.ndarray | None = None
     # static: unisphere contraction applies the Zip-NeRF power transform
     # instead of the AABB normalization (reference tensorBase.py:74-83)
     unisphere: bool = struct.field(pytree_node=False, default=False)
+    # static: neighborhood window of packed_bits (0 = no bits table)
+    bits_window: int = struct.field(pytree_node=False, default=0)
 
 
 def make_alpha_mask(volume: jnp.ndarray, aabb,
-                    contraction_type: str = "aabb") -> AlphaMask:
+                    contraction_type: str = "aabb",
+                    bits_window: int = 4) -> AlphaMask:
     return AlphaMask(
         volume=volume,
         aabb=jnp.asarray(aabb),
         packed=pack_volume(volume, dtype=jnp.uint8),
+        packed_bits=(
+            pack_volume_bits(volume, bits_window) if bits_window else None
+        ),
         unisphere=contraction_type == "unisphere",
+        bits_window=bits_window,
     )
 
 
@@ -191,6 +210,59 @@ def sample_alpha(mask: AlphaMask, xyz: jnp.ndarray) -> jnp.ndarray:
         d, h, w = mask.volume.shape
         return packed_trilerp(mask.packed, d, h, w, coords)
     return grid_sample_3d(mask.volume, coords)
+
+
+def sample_alpha_gate(mask: AlphaMask, xyz: jnp.ndarray,
+                      group: int = 1) -> jnp.ndarray:
+    """Boolean occupancy gate ``sample_alpha(mask, xyz) > 0`` computed from
+    the neighborhood-bit table, sharing one gathered row per ``group``
+    consecutive samples along axis -2 of xyz [..., S, 3].
+
+    Semantics: the reference only ever consumes the alpha-mask trilerp as a
+    boolean (``alphas > 0``: AlphaGridMask.sample_alpha at
+    tensorBase.py:66-72 gating the march at :832-846 and the ray filter at
+    :739-741); for a binary volume under non-negative weights that boolean
+    is exactly "some positive-weight footprint corner is occupied", which
+    one neighborhood-bit row answers for a whole group of samples.
+
+    Callers must satisfy occupancy_grouped's group-spread requirement for
+    group > 1 — use gate_group_for to derive a safe group from the sampling
+    step — and must not use it under unisphere contraction (the power
+    transform bends the sample spacing)."""
+    assert mask.packed_bits is not None and not mask.unisphere
+    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
+    coords = (xyz - mask.aabb[0]) * inv_size - 1.0
+    d, h, w = mask.volume.shape
+    return occupancy_grouped(
+        mask.packed_bits, d, h, w, mask.bits_window, coords, group
+    )
+
+
+def gate_group_for(mask_shape, mask_aabb, step_size: float,
+                   window: int, dir_bound: float = 1.0,
+                   cap: int = 8) -> int:
+    """Largest safe sample-group size for sample_alpha_gate.
+
+    Consecutive samples of sample_ray's march are exactly ``step_size``
+    apart in world space, so their per-axis pixel displacement is
+    step_size * |dir_a| / unit_a <= step_size * dir_bound / min(units).
+    A group of G samples then spans (G-1) * delta pixels; every bilinear
+    footprint fits the window iff (G-1) * delta <= window - 2 (floors are
+    nonexpansive: |floor x - floor y| <= ceil|x - y|). A 1e-3-pixel margin
+    absorbs float rounding of xyz = o + d*z across consecutive samples.
+
+    ``dir_bound`` is the caller-measured max |dir component| over its rays
+    (blender-convention dirs have |d_z| = 1 and |d_x|,|d_y| = tan(fov/2)).
+    Returns 1 when grouping buys nothing or the spacing is too coarse."""
+    if window < 3:
+        return 1
+    shape = np.asarray(mask_shape, dtype=np.float64)       # (D, H, W): z,y,x
+    aabb = np.asarray(mask_aabb, dtype=np.float64)
+    units = (aabb[1] - aabb[0]) / np.maximum(shape[::-1] - 1.0, 1.0)  # x,y,z
+    delta = float(step_size) * float(dir_bound) / float(units.min())
+    if delta <= 0:
+        return 1
+    return max(1, min(cap, 1 + int((window - 2 - 1e-3) / delta)))
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from iffnerf_tpu.models.field import (
     feature2density,
     normalize_coord,
     sample_alpha,
+    sample_alpha_gate,
 )
 from iffnerf_tpu.models.shading import apply_shading
 from iffnerf_tpu.ops.ray_march import raw2alpha
@@ -326,7 +327,25 @@ def render_rays(
         viewdirs = viewdirs / rays_norm
 
     if mask is not None:
-        ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
+        # Grouped bit-row gate when the caller proved the sample spacing
+        # (gate_group_for): one gathered row per mask_gate_group samples
+        # instead of one 8-lane trilerp row per sample — exact, and the
+        # gate's gather count IS its TPU cost. NDC rescales dists only
+        # (sampling stays the aabb/ndc grid with constant spacing), but the
+        # caller's dir_bound must cover the unnormalized dirs it passes.
+        use_gate = (
+            config.mask_gate_group >= 1
+            and mask.packed_bits is not None
+            and not mask.unisphere
+            and sample_mode in ("aabb", "point_color")
+            and not ndc_ray
+        )
+        if use_gate:
+            ray_valid = ray_valid & sample_alpha_gate(
+                mask, xyz, config.mask_gate_group
+            )
+        else:
+            ray_valid = ray_valid & (sample_alpha(mask, xyz) > 0)
 
     coords = normalize_coord(config, xyz)
     if mask is not None:

@@ -68,6 +68,138 @@ def pack_volume(volume: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1).reshape(d * h * w, 8).astype(dtype)
 
 
+def _shift_k(arr: jnp.ndarray, axis: int, k: int) -> jnp.ndarray:
+    """arr shifted by -k along axis with edge clamp (x+k neighbor)."""
+    if k == 0:
+        return arr
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(k, None)
+    shifted = arr[tuple(idx)]
+    last = [slice(None)] * arr.ndim
+    last[axis] = slice(-1, None)
+    edge = jnp.concatenate([arr[tuple(last)]] * k, axis=axis)
+    return jnp.concatenate([shifted, edge], axis=axis)
+
+
+def pack_volume_bits(volume: jnp.ndarray, window: int = 4) -> jnp.ndarray:
+    """[D, H, W] binary -> [D*H*W, L] uint32 neighborhood-bit rows.
+
+    Bit ``(dz*window + dy)*window + dx`` of row ``v`` (lane = idx // 32)
+    holds ``volume[v + (dz, dy, dx)] > 0`` (edge-clamped). One gathered row
+    then answers the occupancy gate ``trilerp(mask, p) > 0`` for every
+    sample whose bilinear footprint lies in the window — a GROUP of
+    consecutive ray samples per row (see occupancy_grouped). The row is
+    4-16 bytes: gathers are row-rate-bound on TPU, so a bit row costs the
+    same as the 8-lane uint8 footprint row but serves ~a handful of
+    samples instead of one."""
+    d, h, w = volume.shape
+    lanes = (window**3 + 31) // 32
+    occ = (volume > 0).astype(jnp.uint32)
+    out = [jnp.zeros((d, h, w), jnp.uint32) for _ in range(lanes)]
+    for dz in range(window):
+        vz = _shift_k(occ, 0, dz)
+        for dy in range(window):
+            vy = _shift_k(vz, 1, dy)
+            for dx in range(window):
+                vx = _shift_k(vy, 2, dx)
+                idx = (dz * window + dy) * window + dx
+                out[idx // 32] = out[idx // 32] | (vx << jnp.uint32(idx % 32))
+    return jnp.stack(out, axis=-1).reshape(d * h * w, lanes)
+
+
+def _axis_bits(p, base, size: int, window: int) -> jnp.ndarray:
+    """Per-axis window-bit occupancy pattern (uint32).
+
+    Bit j is set iff window texel ``base + j`` receives a strictly positive
+    interpolation weight for coordinate ``p`` under zeros padding — i.e.
+    j == floor(p) - base (weight 1-frac, always > 0 since frac < 1) or
+    j == floor(p)+1 - base with frac > 0; both only when the texel index is
+    inside [0, size-1]. This replicates the trilerp > 0 gate exactly,
+    including exact-integer coordinates (frac == 0 drops the +1 texel)."""
+    i0 = jnp.floor(p).astype(jnp.int32)
+    frac = p - i0
+    j0 = i0 - base
+    j1 = j0 + 1
+    in0 = (i0 >= 0) & (i0 <= size - 1) & (j0 >= 0) & (j0 <= window - 1)
+    in1 = (
+        (i0 + 1 >= 0) & (i0 + 1 <= size - 1) & (frac > 0)
+        & (j1 >= 0) & (j1 <= window - 1)
+    )
+    one = jnp.uint32(1)
+    b0 = jnp.left_shift(one, jnp.clip(j0, 0, 31).astype(jnp.uint32))
+    b1 = jnp.left_shift(one, jnp.clip(j1, 0, 31).astype(jnp.uint32))
+    return jnp.where(in0, b0, 0) | jnp.where(in1, b1, 0)
+
+
+def _combine_bits(patz, paty, patx, window: int) -> list:
+    """Expand per-axis patterns into full window^3-bit lane masks:
+    bit (z*window + y)*window + x = patz[z] & paty[y] & patx[x]."""
+    lanes = (window**3 + 31) // 32
+    out = [jnp.zeros_like(patx) for _ in range(lanes)]
+    for z in range(window):
+        zbit = (patz >> jnp.uint32(z)) & jnp.uint32(1)
+        for y in range(window):
+            ybit = (paty >> jnp.uint32(y)) & jnp.uint32(1)
+            run = patx * (zbit & ybit)
+            idx = (z * window + y) * window
+            l0, o0 = idx // 32, idx % 32
+            out[l0] = out[l0] | (run << jnp.uint32(o0))
+            if o0 + window > 32 and l0 + 1 < lanes:
+                out[l0 + 1] = out[l0 + 1] | (run >> jnp.uint32(32 - o0))
+    return out
+
+
+def occupancy_grouped(packed_bits: jnp.ndarray, d: int, h: int, w: int,
+                      window: int, coords: jnp.ndarray,
+                      group: int = 1) -> jnp.ndarray:
+    """Exact ``trilerp(mask, coords) > 0`` gate from neighborhood-bit rows.
+
+    coords [..., S, 3] in [-1, 1] (x, y, z); returns bool [..., S]. Each
+    GROUP of ``group`` consecutive samples along axis -2 shares ONE gathered
+    row (at the per-axis min floor of the group), dividing the gather count
+    — the stage's cost on TPU — by ``group``.
+
+    EXACTNESS REQUIREMENT: the caller guarantees that within a group the
+    per-axis pixel-space spread satisfies (group-1) * |delta| <= window - 2
+    (see gate_group_for in models/field.py), so every sample's bilinear
+    footprint lies inside the window. Out-of-grid samples gate to False,
+    matching zeros-padding trilerp. The only deviation from the float
+    trilerp is a weight-product underflow to exactly 0.0, which needs a
+    coordinate within ~1e-38 of a voxel boundary — unreachable from f32
+    pixel coordinates >= 1 (their ULP is ~1e-7)."""
+    *lead, s, _ = coords.shape
+    pad = (-s) % group
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.repeat(coords[..., -1:, :], pad, axis=-2)], axis=-2
+        )
+    sg = coords.shape[-2] // group
+    c = coords.reshape(tuple(lead) + (sg, group, 3))
+    px = _pix(c[..., 0], w)
+    py = _pix(c[..., 1], h)
+    pz = _pix(c[..., 2], d)
+
+    fx = jnp.floor(px).astype(jnp.int32)
+    fy = jnp.floor(py).astype(jnp.int32)
+    fz = jnp.floor(pz).astype(jnp.int32)
+    bx = jnp.clip(jnp.min(fx, axis=-1), 0, w - 1)   # [..., sg]
+    by = jnp.clip(jnp.min(fy, axis=-1), 0, h - 1)
+    bz = jnp.clip(jnp.min(fz, axis=-1), 0, d - 1)
+
+    rows = jnp.take(packed_bits, (bz * h + by) * w + bx, axis=0)  # [..., sg, L]
+
+    patx = _axis_bits(px, bx[..., None], w, window)  # [..., sg, group]
+    paty = _axis_bits(py, by[..., None], h, window)
+    patz = _axis_bits(pz, bz[..., None], d, window)
+    lanes = _combine_bits(patz, paty, patx, window)
+
+    hit = jnp.zeros(c.shape[:-1], dtype=jnp.uint32)  # [..., sg, group]
+    for li, lane_mask in enumerate(lanes):
+        hit = hit | (rows[..., li][..., None] & lane_mask)
+    occ = (hit > 0).reshape(tuple(lead) + (sg * group,))
+    return occ[..., :s]
+
+
 def _pix(g, size: int):
     return (g + 1.0) * 0.5 * (size - 1)
 

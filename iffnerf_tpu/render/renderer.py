@@ -105,6 +105,26 @@ def render_chunked(config: FieldConfig, params, mask: AlphaMask | None,
     (bg color, depth = rays[:, -1]) without touching the field. Exact
     w.r.t. the flat ``n_samples``-length march: dropped samples are invalid
     in both, see models/render.ray_span_steps."""
+    # Derive the grouped-occupancy-gate size from THIS ray set's measured
+    # max |dir component| (models/field.gate_group_for) — enables the gate
+    # for checkpoint-loaded evals and re-validates any trainer-set value
+    # against the rays actually rendered. Host-side only: a device array
+    # would cost a blocking pull, so it keeps whatever config carries.
+    # mask_gate_group < 0 is the benchmark kill switch: keep the per-sample
+    # trilerp row (render_rays only gates when >= 1).
+    if (mask is not None and getattr(mask, "packed_bits", None) is not None
+            and not ndc_ray and config.contraction_type == "aabb"
+            and config.mask_gate_group >= 0
+            and isinstance(rays, np.ndarray) and rays.shape[0] > 0):
+        from iffnerf_tpu.models.field import gate_group_for
+
+        g = gate_group_for(
+            mask.volume.shape, np.asarray(mask.aabb), config.step_size,
+            mask.bits_window,
+            dir_bound=float(np.abs(rays[:, 3:6]).max()),
+        )
+        config = config.replace(mask_gate_group=g)
+
     rays = jnp.asarray(rays)
     n = rays.shape[0]
     if mesh is not None:

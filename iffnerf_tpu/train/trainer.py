@@ -28,7 +28,9 @@ import optax
 from iffnerf_tpu.models.field import (
     FieldConfig,
     density_l1,
+    gate_group_for,
     init_field,
+    sample_alpha_gate,
     shrink,
     tv_loss_app,
     tv_loss_density,
@@ -312,9 +314,12 @@ def filtering_rays_host(config: FieldConfig, all_rays: np.ndarray,
                 config, jnp.asarray(rays_o), jnp.asarray(rays_d),
                 is_train=False, n_samples=n_samples,
             )
-            keep = np.asarray(
-                jnp.any(sample_alpha(mask, xyz) > 0, axis=-1)
-            )
+            if (config.mask_gate_group >= 1 and mask.packed_bits is not None
+                    and not mask.unisphere):
+                hit = sample_alpha_gate(mask, xyz, config.mask_gate_group)
+            else:
+                hit = sample_alpha(mask, xyz) > 0
+            keep = np.asarray(jnp.any(hit, axis=-1))
         keep_chunks.append(keep)
     keep = np.concatenate(keep_chunks)
     ratio = keep.sum() / n
@@ -458,6 +463,28 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
         log_fn(f"compaction probe: valid fraction {frac:.3f} -> "
                f"compact_ratio {config.compact_ratio}")
 
+    # max |dir component| over the training rays bounds the per-axis pixel
+    # displacement between consecutive samples — it licenses the grouped
+    # alpha-mask occupancy gate (gate_group_for). Computed over the pre-
+    # refilter pool, so it stays valid for every later ray subset.
+    dir_bound = float(np.abs(allrays[:, 3:6]).max()) if len(allrays) else 1.0
+
+    def maybe_enable_gate():
+        """Re-derive the occupancy-gate group whenever the mask or the step
+        size changes (mask build, shrink, upsample, resume). One gathered
+        bit row then gates mask_gate_group consecutive samples in the train
+        step and the refilter — exact under the spacing bound, and the
+        gate's gather count is its entire TPU cost."""
+        nonlocal config
+        if (mask is None or ndc_ray or config.contraction_type != "aabb"
+                or mask.packed_bits is None):
+            return
+        g = gate_group_for(mask.volume.shape, np.asarray(mask.aabb),
+                           config.step_size, mask.bits_window,
+                           dir_bound=dir_bound)
+        config = dataclasses.replace(config, mask_gate_group=g)
+        log_fn(f"mask occupancy gate: {g} samples per gathered bit row")
+
     # mid-schedule resume (--resume_iter N with --ckpt <expname>_phase.npz):
     # restart at a phase boundary; Adam moments begin fresh at the decayed
     # LR, exactly like the reference's own phase re-inits (train.py:401-415)
@@ -497,6 +524,8 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
         maybe_adapt_compact()
         log_fn(f"resuming at it {start_it} (grid {config.grid_size}, "
                f"{n_samples} samples, lr decay {lr_decay0:.4f})")
+
+    maybe_enable_gate()
 
     state = make_optimizer(params, args.lr_init * lr_decay0,
                            args.lr_basis * lr_decay0, lr_factor)
@@ -703,6 +732,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 state = make_optimizer(params, args.lr_init * decay,
                                        args.lr_basis * decay, lr_factor)
                 opt_state = state.opt_state
+            maybe_enable_gate()
             if (not ndc_ray and len(update_mask_list) > 1
                     and it + 1 == update_mask_list[1]):
                 allrays, allrgbs = filtering_rays_host(
@@ -724,6 +754,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             n_samples = min(args.nSamples,
                             cal_n_samples(reso_cur, args.step_ratio))
             config, params = upsample_volume_grid(config, params, reso_cur)
+            maybe_enable_gate()
             if args.lr_upsample_reset:
                 lr_scale = 1.0
             else:
