@@ -50,12 +50,16 @@ def main():
 
     from iffnerf_tpu.pose import IDConfig, init_id_module
     from iffnerf_tpu.pose.id_module import run_attention
-    from iffnerf_tpu.pose.solve import solve_pose_from_topk
+    from iffnerf_tpu.pose.solve import _scores_maybe_fused, solve_pose_from_topk
 
     n_rays = 20000 * 27  # reference scale: 20k surface points x 27 isocell
     k_top = 100
     K = 16  # estimates per compiled program
-    cfg = IDConfig(compute_dtype="bfloat16")  # inference path: bf16 matmuls
+    # IFFNERF_FUSED_POSE=1 routes scoring through the fused Pallas
+    # ray-MLP+attention kernel (ops/fused_ray_attention.py) for the A/B
+    fused = bool(int(os.environ.get("IFFNERF_FUSED_POSE", "0") or 0))
+    cfg = IDConfig(compute_dtype="bfloat16",  # inference path: bf16 matmuls
+                   fused_scoring=fused)
     key = jax.random.PRNGKey(0)
     params = init_id_module(key, cfg)
 
@@ -72,9 +76,14 @@ def main():
     def run_k(params, img, mask, rays_ori, rays_dirs, rays_rgb, reps: int):
         def body(i, acc):
             img_i = img + 1e-6 * i  # defeat CSE across iterations
-            scores, _, _, _ = run_attention(
-                params, cfg, img_i, mask, rays_ori, rays_dirs, rays_rgb
-            )
+            if fused:
+                scores = _scores_maybe_fused(
+                    params, cfg, img_i, mask, rays_ori, rays_dirs, rays_rgb
+                )
+            else:
+                scores, _, _, _ = run_attention(
+                    params, cfg, img_i, mask, rays_ori, rays_dirs, rays_rgb
+                )
             weights_k, idx = jax.lax.top_k(scores, k_top)
             c2w = solve_pose_from_topk(
                 rays_ori[idx], rays_dirs[idx], weights_k, model_up

@@ -24,6 +24,9 @@ automatically).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -81,6 +84,7 @@ def _shift_k(arr: jnp.ndarray, axis: int, k: int) -> jnp.ndarray:
     return jnp.concatenate([shifted, edge], axis=axis)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
 def pack_volume_bits(volume: jnp.ndarray, window: int = 4) -> jnp.ndarray:
     """[D, H, W] binary -> [D*H*W, L] uint32 neighborhood-bit rows.
 

@@ -466,8 +466,13 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # max |dir component| over the training rays bounds the per-axis pixel
     # displacement between consecutive samples — it licenses the grouped
     # alpha-mask occupancy gate (gate_group_for). Computed over the pre-
-    # refilter pool, so it stays valid for every later ray subset.
-    dir_bound = float(np.abs(allrays[:, 3:6]).max()) if len(allrays) else 1.0
+    # refilter pool, so it stays valid for every later ray subset; floored
+    # at 1.0 because mask_gate_group persists via the checkpoint's
+    # self-describing kwargs into consumers with unit-normalized dirs
+    # (|component| <= 1), e.g. the pose pipeline's point_color sampling.
+    dir_bound = max(
+        float(np.abs(allrays[:, 3:6]).max()) if len(allrays) else 1.0, 1.0
+    )
 
     def maybe_enable_gate():
         """Re-derive the occupancy-gate group whenever the mask or the step

@@ -200,10 +200,16 @@ def main():
 
         from iffnerf_tpu.pose import IDConfig, init_id_module
         from iffnerf_tpu.pose.id_module import run_attention
-        from iffnerf_tpu.pose.solve import solve_pose_from_topk
+        from iffnerf_tpu.pose.solve import (
+            _scores_maybe_fused,
+            solve_pose_from_topk,
+        )
 
         n_rays, k_top = 20000 * 27, 100
-        cfg = IDConfig(compute_dtype="bfloat16")
+        # IFFNERF_FUSED_POSE=1 profiles the fused Pallas scoring kernel
+        # (ops/fused_ray_attention.py) instead of the XLA chain
+        fused = bool(int(os.environ.get("IFFNERF_FUSED_POSE", "0") or 0))
+        cfg = IDConfig(compute_dtype="bfloat16", fused_scoring=fused)
         pkey = jax.random.PRNGKey(7)
         pparams = init_id_module(pkey, cfg)
         ks = jax.random.split(pkey, 4)
@@ -217,7 +223,11 @@ def main():
 
         @jax.jit
         def pose_once(pp, img, mask, ro, rd, rr):
-            scores, _, _, _ = run_attention(pp, cfg, img, mask, ro, rd, rr)
+            if fused:
+                scores = _scores_maybe_fused(pp, cfg, img, mask, ro, rd, rr)
+            else:
+                scores, _, _, _ = run_attention(pp, cfg, img, mask, ro, rd,
+                                                rr)
             w_k, i_k = jax.lax.top_k(scores, k_top)
             return solve_pose_from_topk(ro[i_k], rd[i_k], w_k, up)
 
@@ -225,7 +235,8 @@ def main():
         pose_cost = pose_once.lower(*pose_args).compile().cost_analysis()
         pose_flops = pose_cost.get("flops", float("nan"))
         pose_ms = amortized_ms(lambda: pose_once(*pose_args))
-        print(f"pose program (540k rays, bf16): {pose_ms:.3f} ms  "
+        tag = "fused Pallas scoring" if fused else "XLA scoring"
+        print(f"pose program (540k rays, bf16, {tag}): {pose_ms:.3f} ms  "
               f"{flops_to_string(pose_flops)}")
         print(f"          {mfu_string(pose_flops, pose_ms, pose_cost.get('bytes accessed'))}")
 
