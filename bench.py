@@ -56,8 +56,12 @@ def main():
     k_top = 100
     K = 16  # estimates per compiled program
     # IFFNERF_FUSED_POSE=1 routes scoring through the fused Pallas
-    # ray-MLP+attention kernel (ops/fused_ray_attention.py) for the A/B
+    # ray-MLP+attention kernel (ops/fused_ray_attention.py) for the A/B.
+    # IFFNERF_POSE_BANKED=1 measures the repeated-query latency against a
+    # precomputed per-object ray bank (id_module.ray_bank) — the production
+    # shape of the pose server, and what pose/test.py now runs.
     fused = bool(int(os.environ.get("IFFNERF_FUSED_POSE", "0") or 0))
+    banked = bool(int(os.environ.get("IFFNERF_POSE_BANKED", "1") or 0))
     cfg = IDConfig(compute_dtype="bfloat16",  # inference path: bf16 matmuls
                    fused_scoring=fused)
     key = jax.random.PRNGKey(0)
@@ -72,11 +76,24 @@ def main():
     rays_rgb = jax.random.uniform(ks[3], (n_rays, 3))
     model_up = jnp.asarray([0.0, 0.0, 1.0])
 
+    bank = None
+    if banked:
+        from iffnerf_tpu.pose.id_module import ray_bank
+
+        bank = ray_bank(params, cfg, rays_ori, rays_dirs, rays_rgb)
+
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def run_k(params, img, mask, rays_ori, rays_dirs, rays_rgb, reps: int):
+    def run_k(params, img, mask, rays_ori, rays_dirs, rays_rgb, bank,
+              reps: int):
         def body(i, acc):
             img_i = img + 1e-6 * i  # defeat CSE across iterations
-            if fused:
+            if banked:
+                from iffnerf_tpu.pose.id_module import image_queries, score_rays
+
+                q, patch_valid, _ = image_queries(params, cfg, img_i, mask)
+                scores, _ = score_rays(params, cfg, q, patch_valid, None,
+                                       None, None, bank=bank)
+            elif fused:
                 scores = _scores_maybe_fused(
                     params, cfg, img_i, mask, rays_ori, rays_dirs, rays_rgb
                 )
@@ -99,7 +116,7 @@ def main():
     float(empty(jnp.float32(0)))
     rt = _median_time(lambda: float(empty(jnp.float32(0))), reps=10)
 
-    args = (params, img, mask, rays_ori, rays_dirs, rays_rgb)
+    args = (params, img, mask, rays_ori, rays_dirs, rays_rgb, bank)
     float(run_k(*args, reps=K))  # compile
     total = _median_time(lambda: float(run_k(*args, reps=K)), reps=5)
 
@@ -110,6 +127,8 @@ def main():
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(20.0 / max(ms, 1e-9), 3),
+        "mode": ("banked" if banked else
+                 "fused" if fused else "unbanked"),
     }))
 
 

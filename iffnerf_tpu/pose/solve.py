@@ -114,6 +114,28 @@ def estimate_pose_single(params, config: IDConfig, img, mask, rays_ori,
     return c2w, scores, idx, weights_k
 
 
+@functools.partial(jax.jit, static_argnames=("config", "k"))
+def estimate_pose_single_banked(params, config: IDConfig, img, mask, bank,
+                                rays_ori, rays_dirs, model_up, k: int = 100):
+    """Single-image estimate against a precomputed ray bank
+    (id_module.ray_bank): per image only ViT -> Q, one [P,D]@[D,R] logits
+    matmul, softmax column sum, top-k and the closed-form solve run —
+    measured ~77% of the per-image latency is the image-independent ray
+    chain (extra/decompose_pose.py), which the bank amortizes across every
+    query against the same object. Scores are bit-identical to
+    estimate_pose_single's (same logits graph). Returns (c2w, scores,
+    topk_idx, topk_weights)."""
+    q, patch_valid, _ = image_queries(params, config, img, mask)
+    scores, _ = score_rays(
+        params, config, q, patch_valid, None, None, None, bank=bank
+    )
+    weights_k, idx = jax.lax.top_k(scores, k)
+    c2w = solve_pose_from_topk(
+        rays_ori[idx], rays_dirs[idx], weights_k, model_up
+    )
+    return c2w, scores, idx, weights_k
+
+
 @functools.partial(jax.jit, static_argnames=("config", "k", "mesh"))
 def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
                                  rays_ori, rays_dirs, rays_rgb, model_up,

@@ -1,0 +1,79 @@
+"""Banked pose estimation: precomputed ray keys must reproduce the
+unbanked path exactly (same logits graph, bit-identical scores/pose)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iffnerf_tpu.pose.id_module import (
+    IDConfig,
+    image_queries,
+    init_id_module,
+    ray_bank,
+    run_attention,
+    score_rays,
+)
+from iffnerf_tpu.pose.solve import (
+    estimate_pose_single,
+    estimate_pose_single_banked,
+)
+from iffnerf_tpu.pose.vit import ViTConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = IDConfig(backbone=ViTConfig(depth=1))
+    key = jax.random.PRNGKey(23)
+    params = init_id_module(key, cfg)
+    ks = jax.random.split(key, 5)
+    img = jax.random.uniform(ks[0], (96, 96, 3))
+    mask = jax.random.uniform(ks[1], (96, 96)) > 0.3
+    n = 2048
+    rays_ori = jax.random.uniform(ks[2], (n, 3), minval=-1, maxval=1)
+    d = jax.random.normal(ks[3], (n, 3))
+    rays_dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_rgb = jax.random.uniform(ks[4], (n, 3))
+    return cfg, params, img, mask, rays_ori, rays_dirs, rays_rgb
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_banked_scores_identical(setup, dtype):
+    cfg, params, img, mask, ro, rd, rr = setup
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    scores_ref, _, patch_valid, _ = run_attention(
+        params, cfg, img, mask, ro, rd, rr
+    )
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    q, pv, _ = image_queries(params, cfg, img, mask)
+    scores_banked, _ = score_rays(params, cfg, q, pv, None, None, None,
+                                  bank=bank)
+    np.testing.assert_array_equal(np.asarray(scores_ref),
+                                  np.asarray(scores_banked))
+
+
+def test_banked_estimate_matches_full(setup):
+    cfg, params, img, mask, ro, rd, rr = setup
+    c2w_ref, scores_ref, idx_ref, w_ref = estimate_pose_single(
+        params, cfg, img, mask, ro, rd, rr,
+        jnp.asarray([0.0, 0.0, 1.0]), k=32,
+    )
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    c2w_b, scores_b, idx_b, w_b = estimate_pose_single_banked(
+        params, cfg, img, mask, bank, ro, rd,
+        jnp.asarray([0.0, 0.0, 1.0]), k=32,
+    )
+    np.testing.assert_array_equal(np.asarray(scores_ref),
+                                  np.asarray(scores_b))
+    np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(c2w_ref), np.asarray(c2w_b))
+
+
+def test_bank_shape_dtype(setup):
+    cfg, params, img, mask, ro, rd, rr = setup
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    bank = ray_bank(params, cfg16, ro, rd, rr)
+    assert bank.shape == (ro.shape[0], cfg.img_num_features)
+    assert bank.dtype == jnp.bfloat16
