@@ -139,7 +139,7 @@ def estimate_pose_single_banked(params, config: IDConfig, img, mask, bank,
 @functools.partial(jax.jit, static_argnames=("config", "k", "mesh"))
 def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
                                  rays_ori, rays_dirs, rays_rgb, model_up,
-                                 mesh, k: int = 100):
+                                 mesh, k: int = 100, bank=None):
     """``estimate_pose_single`` with the candidate-ray axis sharded over
     ``mesh``'s 'data' axis (SURVEY.md §5): each device embeds and scores its
     ray shard, the softmax statistics reduce with two [P]-vector
@@ -149,7 +149,10 @@ def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
 
     The ray count must divide by the mesh size (540000 = 20000 points x 27
     isocell dirs divides any power-of-two mesh up to 32). Exact up to float
-    reduction order vs the single-device path."""
+    reduction order vs the single-device path. ``bank`` supplies
+    ray-sharded precomputed keys (id_module.ray_bank) and skips the
+    per-image ray-feature chain, exactly like the single-chip banked
+    path."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import get_shard_map
@@ -160,19 +163,35 @@ def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
 
     q, patch_valid, _ = image_queries(params, config, img, mask)
 
-    def shard_fn(params, q, patch_valid, ro, rd, rr):
-        scores, _ = score_rays(params, config, q, patch_valid, ro, rd, rr,
-                               axis_name="data")
+    def _topk_from_scores(scores, shard_rows):
         w_loc, i_loc = jax.lax.top_k(scores, k)
-        gidx = i_loc + jax.lax.axis_index("data") * ro.shape[0]
+        gidx = i_loc + jax.lax.axis_index("data") * shard_rows
         return scores, w_loc, gidx
 
-    scores, w_cand, gidx_cand = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data")),
-        check_rep=False,
-    )(params, q, patch_valid, rays_ori, rays_dirs, rays_rgb)
+    if bank is not None:
+        def shard_fn(params, q, patch_valid, bk, ro):
+            scores, _ = score_rays(params, config, q, patch_valid, None,
+                                   None, None, axis_name="data", bank=bk)
+            return _topk_from_scores(scores, ro.shape[0])
+
+        scores, w_cand, gidx_cand = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_rep=False,
+        )(params, q, patch_valid, bank, rays_ori)
+    else:
+        def shard_fn(params, q, patch_valid, ro, rd, rr):
+            scores, _ = score_rays(params, config, q, patch_valid, ro, rd,
+                                   rr, axis_name="data")
+            return _topk_from_scores(scores, ro.shape[0])
+
+        scores, w_cand, gidx_cand = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_rep=False,
+        )(params, q, patch_valid, rays_ori, rays_dirs, rays_rgb)
 
     weights_k, sel = jax.lax.top_k(w_cand, k)        # merge shard top-k's
     idx = jnp.take(gidx_cand, sel)

@@ -71,11 +71,9 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
     # ~77% of per-image latency, extra/decompose_pose.py). Scores are
     # bit-identical to the unbanked path. The negated-direction sign below
     # applies here too.
-    bank = None
-    if mesh is None:
-        from iffnerf_tpu.pose.id_module import ray_bank
+    from iffnerf_tpu.pose.id_module import ray_bank
 
-        bank = ray_bank(id_params, id_config, rays_ori, -rays_dirs, rays_rgb)
+    bank = ray_bank(id_params, id_config, rays_ori, -rays_dirs, rays_rgb)
 
     t0 = time.perf_counter()
     warmed = False
@@ -101,6 +99,7 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
                 return estimate_pose_single_sharded(
                     id_params, id_config, obs_img, mask_img, rays_ori,
                     -rays_dirs, rays_rgb, model_up, mesh=mesh, k=k,
+                    bank=bank,
                 )
             return estimate_pose_single_banked(
                 id_params, id_config, obs_img, mask_img, bank, rays_ori,

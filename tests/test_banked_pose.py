@@ -71,6 +71,40 @@ def test_banked_estimate_matches_full(setup):
     np.testing.assert_array_equal(np.asarray(c2w_ref), np.asarray(c2w_b))
 
 
+def test_sharded_banked_matches_unbanked_sharded():
+    """estimate_pose_single_sharded with a precomputed bank must match its
+    own unbanked output exactly (the shard computes identical keys)."""
+    from iffnerf_tpu.parallel import make_mesh
+    from iffnerf_tpu.pose.solve import estimate_pose_single_sharded
+
+    cfg = IDConfig(backbone=ViTConfig(img_size=28, patch_size=14, dim=32,
+                                      depth=1, num_heads=4),
+                   resize_size=32, crop_size=28)
+    key = jax.random.PRNGKey(5)
+    params = init_id_module(key, cfg)
+    rng = np.random.default_rng(5)
+    n = 1600
+    ro = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rr = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (48, 48, 3)).astype(np.float32))
+    mask = jnp.ones((48, 48), jnp.float32)
+    up = jnp.asarray([0.0, 0.0, 1.0])
+
+    mesh = make_mesh()
+    c2w1, scores1, idx1, w1 = estimate_pose_single_sharded(
+        params, cfg, img, mask, ro, rd, rr, up, mesh=mesh, k=32,
+    )
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    c2w2, scores2, idx2, w2 = estimate_pose_single_sharded(
+        params, cfg, img, mask, ro, rd, rr, up, mesh=mesh, k=32, bank=bank,
+    )
+    np.testing.assert_array_equal(np.asarray(scores1), np.asarray(scores2))
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(c2w1), np.asarray(c2w2))
+
+
 def test_bank_shape_dtype(setup):
     cfg, params, img, mask, ro, rd, rr = setup
     cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
