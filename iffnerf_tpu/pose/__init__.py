@@ -20,12 +20,14 @@ from iffnerf_tpu.pose.sampling import (
 from iffnerf_tpu.pose.id_module import (
     IDConfig,
     init_id_module,
+    ray_bank,
     run_attention,
     test_image,
     distance_based_score_loss,
 )
 from iffnerf_tpu.pose.solve import (
     estimate_pose_single,
+    estimate_pose_single_banked,
     estimate_pose_single_sharded,
     solve_pose_from_topk,
 )
