@@ -132,6 +132,39 @@ def test_gate_group_for_bounds():
     assert gate_group_for((16,) * 3, [[-1] * 3, [1] * 3], 0.1, window=0) == 1
 
 
+def test_render_chunked_autogate_parity():
+    """render_chunked derives the gate group from the numpy ray set; its
+    output must be bit-identical to the kill-switch (-1) path."""
+    from iffnerf_tpu.models.field import init_field
+    from iffnerf_tpu.render.renderer import render_chunked
+
+    rng = np.random.default_rng(11)
+    config = FieldConfig(
+        aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
+        grid_size=(20, 20, 20),
+        shading_mode="MLP_Fea",
+        step_ratio=0.5,
+        fused_eval="off",
+    )
+    params = init_field(jax.random.PRNGKey(2), config)
+    mask, _ = _random_mask(rng, (16, 16, 16), config.aabb, bits_window=4)
+
+    n = 96
+    origins = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
+    dirs = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    rays = np.concatenate(
+        [origins, dirs, np.full((n, 1), 6.0, np.float32)], -1
+    )
+
+    rgb_off, depth_off = render_chunked(
+        config.replace(mask_gate_group=-1), params, mask, rays, chunk=32
+    )
+    rgb_on, depth_on = render_chunked(config, params, mask, rays, chunk=32)
+    np.testing.assert_array_equal(np.asarray(rgb_off), np.asarray(rgb_on))
+    np.testing.assert_array_equal(np.asarray(depth_off),
+                                  np.asarray(depth_on))
+
+
 def test_render_rays_gate_parity():
     """Full render_rays with the gate on vs off: identical images."""
     from iffnerf_tpu.models.field import init_field
