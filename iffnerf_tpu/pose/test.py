@@ -20,7 +20,6 @@ from iffnerf_tpu.pose.id_module import (
     distance_based_score_loss,
 )
 from iffnerf_tpu.pose.solve import (
-    estimate_pose_single,
     estimate_pose_single_banked,
     estimate_pose_single_sharded,
 )
