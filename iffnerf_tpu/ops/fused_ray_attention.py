@@ -19,6 +19,15 @@ f32-accumulate MXU configuration).
 
 Reference counterpart: pose_estimation/ray_preprocessor.py:29-39 +
 identification_module.py:162-168 (torch Linear chain + QK softmax).
+
+MEASURED VERDICT (v5e-1, 2026-08-17, BASELINE.md round-3 table): 14.42 ms
+vs the XLA chain's 12.67 ms per estimate — XLA's own fusion + bf16 HBM
+traffic beat this hand-tiled pass, so the kernel stays OPT-IN OFF
+(IDConfig.fused_scoring / IFFNERF_FUSED_POSE=1) and is kept, with its
+parity tests, as the recorded negative result. The production answer to
+the same bottleneck is the per-object ray bank (id_module.ray_bank,
+4.14 ms/image), which removes the fused chain from the per-image path
+entirely.
 """
 
 from __future__ import annotations
