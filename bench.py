@@ -28,9 +28,28 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from iffnerf_tpu.runtime import setup as _runtime_setup
 
-_runtime_setup()
+def _fail(stage: str, exc: BaseException) -> "NoReturn":
+    """Emit ONE parseable JSON line on infra failure (backend down, relay
+    wedged) so the driver can distinguish an outage from a regression."""
+    print(json.dumps({
+        "metric": "single_image_pose_latency",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "error": f"{stage}: {type(exc).__name__}: {exc}"[:500],
+    }))
+    sys.exit(1)
+
+
+try:
+    from iffnerf_tpu.runtime import setup as _runtime_setup
+
+    _runtime_setup()
+except BaseException as e:  # noqa: BLE001 - jax raises non-Exception errors
+    if isinstance(e, (KeyboardInterrupt, SystemExit)):
+        raise
+    _fail("backend init", e)
 
 
 def _median_time(fn, reps: int = 5) -> float:
@@ -133,4 +152,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        _fail("bench run", e)
