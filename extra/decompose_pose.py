@@ -126,6 +126,50 @@ def main():
 
     bench("e. full estimate (d + top-k + solve)", full, base=base)
 
+    # ---- banked path (round-4: where does the 4.1 ms go?) ----
+    from iffnerf_tpu.pose.id_module import ray_bank, score_rays as _score
+
+    bank = ray_bank(params, cfg, r_o, r_d, r_rgb)
+    q0, patch_valid, _ = image_queries(params, cfg, img, mask)
+    jax.block_until_ready((bank, q0))
+
+    # f. banked per-image estimate (what bench.py measures)
+    def banked_full(i):
+        q, pv, _ = image_queries(params, cfg, nudge(img, i), mask)
+        scores, _ = _score(params, cfg, q, pv, None, None, None, bank=bank)
+        w_k, i_k = jax.lax.top_k(scores, 100)
+        return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
+
+    bench("f. banked estimate (ViT + score + topk + solve)", banked_full,
+          base=base)
+
+    # g. banked scoring epilogue only (q fixed): logits + softmax + colsum
+    bench("g. banked score_rays only (logits+softmax+sum)",
+          lambda i: jnp.sum(_score(params, cfg, nudge(q0, i), patch_valid,
+                                   None, None, None, bank=bank)[0]),
+          base=base)
+
+    # h. the bare [R,D]@[D,P] logits matmul, output reduced in-epilogue
+    # (no [P,R] HBM write): the MXU+bank-read floor of stage g
+    def matmul_only(i):
+        l = jnp.dot(nudge(q0, i), bank.T,
+                    preferred_element_type=jnp.float32)
+        return jnp.sum(l)
+
+    bench("h. logits matmul, fused-reduce (MXU floor)", matmul_only,
+          base=base)
+
+    # i. top-k + solve on precomputed scores
+    scores0, _ = _score(params, cfg, q0, patch_valid, None, None, None,
+                        bank=bank)
+    jax.block_until_ready(scores0)
+
+    def topk_solve(i):
+        w_k, i_k = jax.lax.top_k(nudge(scores0, i), 100)
+        return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
+
+    bench("i. top-k(540k) + closed-form solve", topk_solve, base=base)
+
 
 if __name__ == "__main__":
     main()

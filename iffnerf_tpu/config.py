@@ -119,6 +119,11 @@ def build_argparse() -> argparse.ArgumentParser:
     # boundaries and size the train step's static compaction buffer to it
     # (exact either way — oversized batches fall back to the dense branch)
     parser.add_argument("--adaptive_compact", type=int, default=1)
+    # TPU-build extra: shard the ray axis of training + eval over a 1-D
+    # jax.sharding data mesh of all visible devices (SURVEY.md §5 — the
+    # pjit/ICI replacement for the reference's CUDA_VISIBLE_DEVICES process
+    # farming). -1 = auto (on when >1 device), 0 = off, 1 = on.
+    parser.add_argument("--data_mesh", type=int, default=-1)
     # TPU-build extra: resume a crashed run at a phase boundary from the
     # auto-saved <expname>_phase.npz (pass it as --ckpt). Adam moments
     # restart fresh at the decayed LR, like the reference's own phase

@@ -5,5 +5,6 @@ from iffnerf_tpu.parallel.mesh import (
     make_mesh,
     shard_rays,
     replicate,
+    replicate_arrays,
     pad_to_multiple,
 )

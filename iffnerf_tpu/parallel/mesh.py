@@ -77,3 +77,18 @@ def replicate(mesh: Mesh, tree):
     """Replicate a parameter pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def replicate_arrays(mesh: Mesh, tree):
+    """Replicate only the array leaves of a pytree (optimizer states mix
+    arrays with static leaves that ``device_put`` would needlessly wrap)."""
+    import numpy as _np
+
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, (jax.Array, _np.ndarray)):
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree.map(put, tree)

@@ -52,6 +52,12 @@ class IDConfig:
     # intermediates (ops/fused_ray_attention.py). Falls back to the XLA
     # path when the ray count has no suitable row-tile divisor.
     fused_scoring: bool = False
+    # two-pass Pallas kernel for the BANKED per-image scoring (inference):
+    # flash-style stats + recompute over the ray bank, never materializing
+    # the [P, R] logits in HBM (ops/banked_attention.py). Scores match the
+    # XLA banked path to f32 reduction-order tolerance (not bit-exactly).
+    # Falls back to the XLA path when R has no suitable tile divisor.
+    fused_bank: bool = False
 
     @property
     def img_num_features(self) -> int:
@@ -247,6 +253,16 @@ def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
     Returns (scores [R], attention [P, R])."""
     k = (bank if bank is not None
          else ray_bank(params, config, rays_ori, rays_dir, rays_rgb))
+    if (bank is not None and config.fused_bank and axis_name is None):
+        from iffnerf_tpu.ops.banked_attention import (
+            bank_tile_for,
+            banked_scores_fused,
+        )
+
+        tile = bank_tile_for(k.shape[0])
+        if tile is not None:
+            scores = banked_scores_fused(k, q, patch_valid, tile=tile)
+            return scores, None
     logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(
         q.shape[-1]
     )                                                   # [P, R] f32

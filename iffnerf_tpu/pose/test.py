@@ -31,15 +31,77 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _solver_debug_intermediates(scores, idx, weights_k, rays_ori, dirs_solve,
+                                model_up):
+    """Recompute the closed-form solver chain with the reference's dynamic
+    shapes (host numpy) for the debug dump (reference test.py:131-190):
+    duplicate-origin rays are DROPPED (not masked), producing the variable-
+    length ``topk_unique_*`` arrays the reference saves. Same math as
+    solve.solve_pose_from_topk, whose fixed-shape masking it mirrors."""
+    from iffnerf_tpu.pose.geometry import (
+        compute_line_intersection_impl2,
+        exclude_negatives,
+        make_rotation_mat,
+    )
+
+    idx = np.asarray(idx)
+    weights_k = np.asarray(weights_k)
+    ori_k = np.asarray(rays_ori)[idx]
+    dirs_k = np.asarray(dirs_solve)[idx]
+
+    # reference test.py:135-140: keep rays whose origin appears exactly once
+    _, inverse, counts = np.unique(ori_k, axis=0, return_inverse=True,
+                                   return_counts=True)
+    keep = counts[inverse] == 1
+    u_idx, u_w = idx[keep], weights_k[keep]
+    ori_u, dirs_u = ori_k[keep], dirs_k[keep]
+
+    w = u_w / u_w.sum()
+    center = np.asarray(
+        compute_line_intersection_impl2(jnp.asarray(ori_u),
+                                        jnp.asarray(dirs_u))
+    )
+    neg = np.asarray(
+        exclude_negatives(jnp.asarray(center), jnp.asarray(ori_u),
+                          jnp.asarray(dirs_u))
+    )
+    w = w * neg
+    w = w / w.sum()
+    watch = (dirs_u * w[:, None]).sum(0)
+    watch = watch / np.linalg.norm(watch)
+    rot = np.asarray(make_rotation_mat(jnp.asarray(-watch),
+                                       jnp.asarray(model_up)))
+    if abs(np.linalg.det(rot)) < 1e-7:
+        rot = np.eye(3, dtype=rot.dtype)
+    c2w = np.eye(4, dtype=ori_u.dtype)
+    c2w[:3, :3] = np.linalg.inv(rot)
+    c2w[:3, 3] = center
+    return {
+        "topk_unique_ray_idx": u_idx,
+        "topk_unique_weights": u_w,
+        "topk_unique_weights_after_exclusion": w,
+        "pred_camera_optical_center": center,
+        "pred_camera_watch_dir": -watch,
+        "pred_c2w_matrix": c2w,
+    }
+
+
 def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
                          rays_dirs, rays_rgb, model_up, sequence_id: str = "",
                          compute_loss: bool = True, inerf_refinement: bool = False,
-                         nerf=None, k: int = 100, log_fn=print, mesh=None):
+                         nerf=None, k: int = 100, log_fn=print, mesh=None,
+                         save: bool = False, save_all: bool = False,
+                         save_dir: str = "."):
     """Returns (results, avg_translation_error, avg_angular_error,
     avg_loss_score, avg_recall). With ``mesh`` the candidate-ray axis of
     the scoring is sharded over its data axis (the ray count must divide
     the mesh size; 20000 points x 27 isocell dirs divides any
-    power-of-two mesh up to 32)."""
+    power-of-two mesh up to 32).
+
+    ``save`` dumps the intermediate tensors of image 0 (every image with
+    ``save_all``) to ``save_dir/sample_results_<i>.npz`` with the
+    reference's field names (test.py:93-105,140-145,178-190; npz instead
+    of torch.save, and ``save_dir`` instead of its hardcoded home path)."""
     model_up = model_up / jnp.linalg.norm(model_up)
     if mesh is not None and rays_ori.shape[0] % mesh.size != 0:
         log_fn(f"pose mesh disabled: {rays_ori.shape[0]} rays not divisible "
@@ -126,6 +188,39 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
             )
         avg_loss_scores.append(avg_score)
         recalls.append(recall)
+
+        if save and (img_idx == 0 or save_all):
+            import os
+
+            dump = {
+                "gt_pose": np.asarray(pose),
+                "camera_intrinsic": np.asarray(
+                    dataset.K[0] if getattr(dataset, "K", None) is not None
+                    else np.eye(3)
+                ),
+                "all_rays_ori": np.asarray(rays_ori),
+                "all_rays_dirs": np.asarray(rays_dirs),
+                "all_rays_rgb": np.asarray(rays_rgb),
+                "obs_img": np.asarray(obs_img),
+                "mask_img": np.asarray(mask_img),
+                "topk_nonunique_ray_idx": np.asarray(idx),
+                "topk_nonunique_weights": np.asarray(weights),
+                "all_predict_weights": np.asarray(scores),
+                "model_up": np.asarray(model_up),
+            }
+            if compute_loss:
+                dump["all_target_weights"] = np.asarray(target)
+                dump["loss"] = avg_score
+                dump["recall"] = recall
+            dump.update(_solver_debug_intermediates(
+                scores, idx, weights, rays_ori, -rays_dirs, model_up
+            ))
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez(
+                os.path.join(save_dir, f"sample_results_{img_idx}.npz"),
+                **dump,
+            )
+            log_fn("Sample result saved")
 
         if inerf_refinement and nerf is not None:
             from iffnerf_tpu.inerf import estimate_pose_inerf

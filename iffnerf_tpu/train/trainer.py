@@ -139,12 +139,27 @@ def make_optimizer(params, lr_spatial: float, lr_network: float,
     return TrainState(params=params, opt_state=tx.init(params), tx=tx)
 
 
+def _shard_batch(mesh, *arrs):
+    """Constrain batch arrays to the data-mesh ray axis inside jit (no-op
+    without a mesh). GSPMD then shards the whole per-ray computation and
+    inserts the psum for the replicated-parameter gradients (SURVEY.md §5)."""
+    if mesh is None:
+        return arrs if len(arrs) > 1 else arrs[0]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    out = tuple(jax.lax.with_sharding_constraint(a, sh) for a in arrs)
+    return out if len(out) > 1 else out[0]
+
+
 def make_train_step(config: FieldConfig, tx, *, has_mask: bool,
                     n_samples: int, ndc_ray: bool, ortho_weight: float,
                     use_l1: bool, use_tv_density: bool, use_tv_app: bool,
-                    rgb_channels: int):
+                    rgb_channels: int, mesh=None):
     """Build the jitted train step. Dynamic per-step inputs: gathered ray
-    batch indices, PRNG key, bg color, and the decaying loss weights."""
+    batch indices, PRNG key, bg color, and the decaying loss weights.
+    With ``mesh``, the gathered batch is sharded along the mesh's ray axis
+    (parameters replicated) — the multi-device product path."""
 
     def loss_fn(params, mask, rays, rgbs, key, bg_color, weights):
         rgb_map, depth, acc, alpha, z_vals, dists = render_rays(
@@ -177,6 +192,7 @@ def make_train_step(config: FieldConfig, tx, *, has_mask: bool,
              weights):
         rays = jnp.take(all_rays, idx, axis=0)
         rgbs = jnp.take(all_rgbs, idx, axis=0)
+        rays, rgbs = _shard_batch(mesh, rays, rgbs)
         (total, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, mask, rays, rgbs, key, bg_color, weights
         )
@@ -190,6 +206,7 @@ def make_train_step(config: FieldConfig, tx, *, has_mask: bool,
                         bg_color, weights):
             rays = jnp.take(all_rays, idx, axis=0)
             rgbs = jnp.take(all_rgbs, idx, axis=0)
+            rays, rgbs = _shard_batch(mesh, rays, rgbs)
             (total, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, None, rays, rgbs, key, bg_color, weights
             )
@@ -205,7 +222,8 @@ def make_train_scan(config: FieldConfig, tx, *, has_mask: bool,
                     n_samples: int, ndc_ray: bool, ortho_weight: float,
                     use_l1: bool, use_tv_density: bool, use_tv_app: bool,
                     rgb_channels: int, batch_size: int, steps_per_call: int,
-                    lr_factor: float, bg_mode: str):
+                    lr_factor: float, bg_mode: str, mesh=None,
+                    pool_n: int | None = None):
     """Device-resident multi-step training: ``steps_per_call`` optimizer
     steps as ONE ``lax.scan`` inside one jit — zero host round trips between
     steps (the TPU-native answer to the reference's per-iteration
@@ -244,11 +262,14 @@ def make_train_scan(config: FieldConfig, tx, *, has_mask: bool,
     def scan_body(mask, all_rays, all_rgbs, carry, _):
         params, opt_state, weights, key = carry
         key, k_idx, k_step, k_bg = jax.random.split(key, 4)
+        # pool_n < all_rays.shape[0] when the device pool is padded to a
+        # mesh-size multiple: never draw the padding rows
         idx = jax.random.randint(
-            k_idx, (batch_size,), 0, all_rays.shape[0]
+            k_idx, (batch_size,), 0, pool_n or all_rays.shape[0]
         )
         rays = jnp.take(all_rays, idx, axis=0)
         rgbs = jnp.take(all_rgbs, idx, axis=0)
+        rays, rgbs = _shard_batch(mesh, rays, rgbs)
         if bg_mode == "random":
             bg = jax.random.uniform(k_bg, (3,))
         elif bg_mode == "white":
@@ -445,6 +466,42 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
     # the measured valid fraction at each phase boundary (--adaptive_compact)
     adaptive_compact = bool(int(getattr(args, "adaptive_compact", 1) or 0))
 
+    # multi-device data mesh (SURVEY.md §5): shard the ray axis of the train
+    # batch and the eval chunks over every visible device, parameters
+    # replicated — `python train.py --config ...` on a pod slice trains on
+    # all chips with single-device numerics (loss psum inserted by GSPMD)
+    mesh_flag = int(getattr(args, "data_mesh", -1)
+                    if getattr(args, "data_mesh", None) is not None else -1)
+    mesh = None
+    if mesh_flag != 0 and jax.device_count() > 1:
+        from iffnerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        log_fn(f"data mesh: {mesh.size} devices on axis 'data'")
+
+    def replicated(tree):
+        """Pin a parameter/mask pytree to every mesh device (no-op without
+        a mesh). Re-run after phase events that rebuild arrays on one
+        device (shrink, upsample, mask update)."""
+        if mesh is None or tree is None:
+            return tree
+        from iffnerf_tpu.parallel import replicate_arrays
+
+        return replicate_arrays(mesh, tree)
+
+    def stage_pool(r, g):
+        """Device-resident ray/rgb pool: sharded along 'data' (padded to a
+        mesh multiple — padding rows are never indexed: the sampler and the
+        scan's randint draw from the unpadded count)."""
+        r, g = jnp.asarray(r), jnp.asarray(g)
+        if mesh is not None:
+            from iffnerf_tpu.parallel import pad_to_multiple, shard_rays
+
+            r, _ = pad_to_multiple(r, mesh.size)
+            g, _ = pad_to_multiple(g, mesh.size)
+            r, g = shard_rays(mesh, r), shard_rays(mesh, g)
+        return r, g
+
     def maybe_adapt_compact():
         nonlocal config, key
         if not (adaptive_compact and mask is not None and not ndc_ray
@@ -542,14 +599,14 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             use_l1=(args.L1_weight_inital > 0 or args.L1_weight_rest > 0),
             use_tv_density=args.TV_weight_density > 0,
             use_tv_app=args.TV_weight_app > 0,
-            rgb_channels=rgb_channels,
+            rgb_channels=rgb_channels, mesh=mesh,
         )
 
     step_fn = build_step()
-    rays_dev = jnp.asarray(allrays)
-    rgbs_dev = jnp.asarray(allrgbs)
-    params = state.params
-    opt_state = state.opt_state
+    rays_dev, rgbs_dev = stage_pool(allrays, allrgbs)
+    params = replicated(state.params)
+    mask = replicated(mask)
+    opt_state = replicated(state.opt_state)
 
     # device-resident multi-step mode (--train_scan 1): lax.scan chunks
     # between host events instead of one dispatch per iteration
@@ -567,6 +624,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 use_tv_app=args.TV_weight_app > 0,
                 rgb_channels=rgb_channels, batch_size=batch_size,
                 steps_per_call=steps, lr_factor=lr_factor, bg_mode=bg_mode,
+                mesh=mesh, pool_n=allrays.shape[0],
             )
         return scan_cache[steps]
 
@@ -703,7 +761,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 f"{logfolder}/imgs_vis", N_vis=args.N_vis,
                 prtx=f"{it + 1:06d}_", n_samples=n_samples,
                 white_bg=white_bg, ndc_ray=ndc_ray,
-                compute_extra_metrics=False,
+                compute_extra_metrics=False, mesh=mesh,
             )
             writer.add_scalar("test/psnr", float(np.mean(psnrs_test)),
                               global_step=it)
@@ -723,9 +781,11 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             mask, new_aabb, _ = update_alpha_mask(
                 config, params, mask, tuple(reso_mask)
             )
+            mask = replicated(mask)
             if it + 1 == update_mask_list[0]:
                 config, params = shrink(config, params, new_aabb,
                                         mask.volume.shape[::-1])
+                params = replicated(params)
                 l1_weight = args.L1_weight_rest
                 n_samples = min(args.nSamples,
                                 cal_n_samples(config.grid_size,
@@ -736,7 +796,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 decay = lr_factor ** (it + 1)
                 state = make_optimizer(params, args.lr_init * decay,
                                        args.lr_basis * decay, lr_factor)
-                opt_state = state.opt_state
+                opt_state = replicated(state.opt_state)
             maybe_enable_gate()
             if (not ndc_ray and len(update_mask_list) > 1
                     and it + 1 == update_mask_list[1]):
@@ -745,8 +805,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 )
                 sampler = SimpleSampler(allrays.shape[0], batch_size,
                                         seed=seed + it)
-                rays_dev = jnp.asarray(allrays)
-                rgbs_dev = jnp.asarray(allrgbs)
+                rays_dev, rgbs_dev = stage_pool(allrays, allrgbs)
             maybe_adapt_compact()
             step_fn = build_step()
             scan_cache.clear()
@@ -759,6 +818,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
             n_samples = min(args.nSamples,
                             cal_n_samples(reso_cur, args.step_ratio))
             config, params = upsample_volume_grid(config, params, reso_cur)
+            params = replicated(params)
             maybe_enable_gate()
             if args.lr_upsample_reset:
                 lr_scale = 1.0
@@ -766,7 +826,7 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
                 lr_scale = args.lr_decay_target_ratio ** (it / args.n_iters)
             state = make_optimizer(params, args.lr_init * lr_scale,
                                    args.lr_basis * lr_scale, lr_factor)
-            opt_state = state.opt_state
+            opt_state = replicated(state.opt_state)
             # sample count grew with the grid: re-size the compaction buffer
             maybe_adapt_compact()
             step_fn = build_step()
@@ -790,12 +850,12 @@ def reconstruction(args, seed: int = 20211202, log_fn=print):
 
     if args.render_train or args.render_test or args.render_path:
         _final_renders(args, config, params, mask, logfolder, test_dataset,
-                       white_bg, ndc_ray, n_samples)
+                       white_bg, ndc_ray, n_samples, mesh=mesh)
     return config, params, mask, logfolder
 
 
 def _final_renders(args, config, params, mask, logfolder, test_dataset,
-                   white_bg, ndc_ray, n_samples):
+                   white_bg, ndc_ray, n_samples, mesh=None):
     """Final train/test/path renders (reference train.py:431-497)."""
     from iffnerf_tpu.data import dataset_dict
     from iffnerf_tpu.render import evaluation, evaluation_path
@@ -808,19 +868,19 @@ def _final_renders(args, config, params, mask, logfolder, test_dataset,
         psnrs = evaluation(
             train_ds, config, params, mask, f"{logfolder}/imgs_train_all",
             N_vis=-1, n_samples=n_samples, white_bg=white_bg,
-            ndc_ray=ndc_ray,
+            ndc_ray=ndc_ray, mesh=mesh,
         )
         print(f"======> {args.expname} train all psnr: {np.mean(psnrs)} <===")
     if args.render_test:
         psnrs = evaluation(
             test_dataset, config, params, mask, f"{logfolder}/imgs_test_all",
             N_vis=-1, n_samples=n_samples, white_bg=white_bg,
-            ndc_ray=ndc_ray,
+            ndc_ray=ndc_ray, mesh=mesh,
         )
         print(f"======> {args.expname} test all psnr: {np.mean(psnrs)} <====")
     if args.render_path and test_dataset.render_path is not None:
         evaluation_path(
             config, params, mask, test_dataset.render_path, test_dataset,
             f"{logfolder}/imgs_path_all", n_samples=n_samples,
-            white_bg=white_bg, ndc_ray=ndc_ray,
+            white_bg=white_bg, ndc_ray=ndc_ray, mesh=mesh,
         )

@@ -111,3 +111,66 @@ def test_bank_shape_dtype(setup):
     bank = ray_bank(params, cfg16, ro, rd, rr)
     assert bank.shape == (ro.shape[0], cfg.img_num_features)
     assert bank.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_bank_kernel_parity(setup, dtype):
+    """The two-pass Pallas banked-scoring kernel (interpret mode on CPU)
+    matches the XLA banked scores to f32 reduction-order tolerance, with a
+    tile that does NOT divide the softmax statistics trivially (multiple
+    online-rescale steps)."""
+    from iffnerf_tpu.ops.banked_attention import (
+        bank_tile_for,
+        banked_scores_fused,
+    )
+
+    cfg, params, img, mask, ro, rd, rr = setup
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    q, pv, _ = image_queries(params, cfg, img, mask)
+    scores_ref, _ = score_rays(params, cfg, q, pv, None, None, None,
+                               bank=bank)
+    tile = bank_tile_for(ro.shape[0], target=512)
+    assert tile is not None and ro.shape[0] // tile >= 4
+    scores_fused = banked_scores_fused(bank, q, pv, tile=tile,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(scores_fused),
+                               np.asarray(scores_ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_fused_bank_config_switch(setup):
+    """IDConfig.fused_bank routes score_rays' banked call through the
+    kernel (attention comes back None) and the scores still agree."""
+    cfg, params, img, mask, ro, rd, rr = setup
+    import unittest.mock
+
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    q, pv, _ = image_queries(params, cfg, img, mask)
+    scores_ref, att = score_rays(params, cfg, q, pv, None, None, None,
+                                 bank=bank)
+    assert att is not None
+
+    cfg_f = dataclasses.replace(cfg, fused_bank=True)
+    # CPU has no Mosaic backend: interpret-mode the pallas_call via patch
+    from iffnerf_tpu.ops import banked_attention as ba
+
+    orig = ba.banked_scores_fused
+
+    def interp(bank, q, pv, *, tile, interpret=False):
+        return orig(bank, q, pv, tile=tile, interpret=True)
+
+    with unittest.mock.patch.object(ba, "banked_scores_fused", interp):
+        scores_f, att_f = score_rays(params, cfg_f, q, pv, None, None,
+                                     None, bank=bank)
+    assert att_f is None
+    np.testing.assert_allclose(np.asarray(scores_f), np.asarray(scores_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_bank_tile_for():
+    from iffnerf_tpu.ops.banked_attention import bank_tile_for
+
+    assert bank_tile_for(20000 * 27) == 5400
+    assert 540000 % bank_tile_for(540000) == 0
+    assert bank_tile_for(1021) is None  # prime, no multiple-of-8 divisor

@@ -42,6 +42,19 @@ def render_test(args):
     else:
         config, params, mask = load_field(args.ckpt)
 
+    # multi-device hosts: shard the eval ray chunks over a data mesh
+    # (SURVEY.md §5); parameters replicate
+    import jax
+
+    mesh = None
+    if int(getattr(args, "data_mesh", -1) or -1) != 0 and jax.device_count() > 1:
+        from iffnerf_tpu.parallel import make_mesh, replicate_arrays
+
+        mesh = make_mesh()
+        params = replicate_arrays(mesh, params)
+        if mask is not None:
+            mask = replicate_arrays(mesh, mask)
+
     logfolder = os.path.dirname(args.ckpt)
     if args.render_train:
         train_dataset = loader(args.datadir, split="train",
@@ -50,7 +63,7 @@ def render_test(args):
             train_dataset, config, params, mask,
             f"{logfolder}/imgs_train_all", N_vis=-1,
             n_samples=-1, white_bg=test_dataset.white_bg,
-            ndc_ray=bool(args.ndc_ray),
+            ndc_ray=bool(args.ndc_ray), mesh=mesh,
         )
         print(f"======> {args.expname} train all psnr: {np.mean(psnrs)} <====")
     if args.render_test:
@@ -58,14 +71,14 @@ def render_test(args):
             test_dataset, config, params, mask,
             f"{logfolder}/imgs_test_all", N_vis=-1,
             n_samples=-1, white_bg=test_dataset.white_bg,
-            ndc_ray=bool(args.ndc_ray),
+            ndc_ray=bool(args.ndc_ray), mesh=mesh,
         )
         print(f"======> {args.expname} test all psnr: {np.mean(psnrs)} <====")
     if args.render_path and test_dataset.render_path is not None:
         evaluation_path(
             config, params, mask, test_dataset.render_path, test_dataset,
             f"{logfolder}/imgs_path_all", white_bg=test_dataset.white_bg,
-            ndc_ray=bool(args.ndc_ray),
+            ndc_ray=bool(args.ndc_ray), mesh=mesh,
         )
 
 

@@ -58,6 +58,11 @@ def add_pose_args(parser):
                              "training from scratch (no pretrained weights)")
     parser.add_argument("--gen_points", type=int, default=20000)
     parser.add_argument("--accum_steps", type=int, default=32)
+    parser.add_argument("--save_debug", type=int, default=0,
+                        help="dump per-image solver intermediates as "
+                             "sample_results_<i>.npz next to --out_path "
+                             "(reference test.py save/save_all: 1 = first "
+                             "test image, 2 = every image)")
     parser.add_argument("--pose_f32", action="store_true",
                         help="run single-image pose inference in float32; "
                              "default is bfloat16 matmul inputs (f32 "
@@ -163,10 +168,13 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
     print("Testing real performances on real data...")
     np.random.seed(starting_seed)
     rays_ori, rays_dirs, rays_rgb = gen()
+    save_debug = int(getattr(args, "save_debug", 0) or 0)
     results, test_t, test_a, test_s, test_r = test_pose_estimation(
         test_dataset, id_params, test_config, rays_ori, rays_dirs, rays_rgb,
         model_up, sequence_id=sequence_id,
         inerf_refinement=inerf_refinement, nerf=nerf, mesh=mesh,
+        save=save_debug > 0, save_all=save_debug > 1,
+        save_dir=os.path.dirname(os.path.abspath(args.out_path)) or ".",
     )
     print("Test AVG translation error:", test_t)
     print("Test AVG angular error:", test_a)
