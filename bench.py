@@ -120,7 +120,9 @@ def main():
                 scores, _, _, _ = run_attention(
                     params, cfg, img_i, mask, rays_ori, rays_dirs, rays_rgb
                 )
-            weights_k, idx = jax.lax.top_k(scores, k_top)
+            from iffnerf_tpu.ops.topk import exact_topk
+
+            weights_k, idx = exact_topk(scores, k_top)
             c2w = solve_pose_from_topk(
                 rays_ori[idx], rays_dirs[idx], weights_k, model_up
             )

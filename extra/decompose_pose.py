@@ -51,19 +51,25 @@ def rtt():
     return (time.perf_counter() - t0) / 10
 
 
-def bench(label, make_body, reps=16, base=0.0):
+def bench(label, make_body, reps=16, base=0.0, consts=(), timed=3):
+    # large closures (e.g. the 414 MB ray bank) must flow as ARGUMENTS:
+    # closed-over arrays become jaxpr constants and the remote-compile
+    # request then exceeds the relay's body-size limit (HTTP 413)
     @jax.jit
-    def looped():
+    def looped(*consts):
         def body(i, carry):
-            return carry + make_body(i)
+            return carry + make_body(i, *consts)
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    _pull(looped())
-    t0 = time.perf_counter()
-    _pull(looped())
-    dt = (time.perf_counter() - t0 - base) / reps * 1e3
-    print(f"{label:52s} {dt:8.2f} ms")
+    _pull(looped(*consts))
+    ts = []
+    for _ in range(timed):
+        t0 = time.perf_counter()
+        _pull(looped(*consts))
+        ts.append(time.perf_counter() - t0)
+    dt = (float(np.median(ts)) - base) / reps * 1e3
+    print(f"{label:52s} {dt:8.3f} ms  (reps={reps})")
     return dt
 
 
@@ -85,10 +91,15 @@ def main():
     print(f"scalar pull rtt {base * 1e3:.1f} ms")
 
     def nudge(x, i):
-        return x + jnp.float32(i) * 0.0
+        # a REAL per-iteration perturbation: "+ i * 0.0" gets constant-
+        # folded by current XLA and the whole loop body CSEs into one
+        # iteration (negative times after rtt subtraction)
+        return x + jnp.float32(i) * 1e-12
+
+    banked_only = "--banked-only" in sys.argv
 
     # a. PE expansion
-    bench("a. ray_mlp_inputs (PE, image-independent)",
+    banked_only or bench("a. ray_mlp_inputs (PE, image-independent)",
           lambda i: jnp.sum(
               ray_mlp_inputs(cfg, nudge(r_o, i), r_d, r_rgb)
               .astype(jnp.float32)[:, 0]
@@ -97,21 +108,21 @@ def main():
     # b. a + ray MLP + k_proj (the full image-independent ray side)
     from iffnerf_tpu.pose.id_module import ray_features
 
-    bench("b. ray features (PE + MLP + k_proj, img-indep)",
+    banked_only or bench("b. ray features (PE + MLP + k_proj, img-indep)",
           lambda i: jnp.sum(
               ray_features(params, cfg, nudge(r_o, i), r_d, r_rgb)
               .astype(jnp.float32)[:, 0]
           ), base=base)
 
     # c. image side (per image)
-    bench("c. image_queries (ViT + patch PE + select)",
+    banked_only or bench("c. image_queries (ViT + patch PE + select)",
           lambda i: jnp.sum(
               image_queries(params, cfg, nudge(img, i), mask)[0]
               .astype(jnp.float32)
           ), base=base)
 
     # d. full scoring
-    bench("d. run_attention (a+b+c + logits + softmax)",
+    banked_only or bench("d. run_attention (a+b+c + logits + softmax)",
           lambda i: jnp.sum(run_attention(
               params, cfg, nudge(img, i), mask, r_o, r_d, r_rgb)[0]),
           base=base)
@@ -124,7 +135,7 @@ def main():
         w_k, i_k = jax.lax.top_k(scores, 100)
         return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
 
-    bench("e. full estimate (d + top-k + solve)", full, base=base)
+    banked_only or bench("e. full estimate (d + top-k + solve)", full, base=base)
 
     # ---- banked path (round-4: where does the 4.1 ms go?) ----
     from iffnerf_tpu.pose.id_module import ray_bank, score_rays as _score
@@ -134,30 +145,52 @@ def main():
     jax.block_until_ready((bank, q0))
 
     # f. banked per-image estimate (what bench.py measures)
-    def banked_full(i):
+    def banked_full(i, bank):
         q, pv, _ = image_queries(params, cfg, nudge(img, i), mask)
         scores, _ = _score(params, cfg, q, pv, None, None, None, bank=bank)
         w_k, i_k = jax.lax.top_k(scores, 100)
         return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
 
     bench("f. banked estimate (ViT + score + topk + solve)", banked_full,
-          base=base)
+          base=base, consts=(bank,), reps=256)
 
     # g. banked scoring epilogue only (q fixed): logits + softmax + colsum
     bench("g. banked score_rays only (logits+softmax+sum)",
-          lambda i: jnp.sum(_score(params, cfg, nudge(q0, i), patch_valid,
-                                   None, None, None, bank=bank)[0]),
-          base=base)
+          lambda i, bank: jnp.sum(_score(params, cfg, nudge(q0, i),
+                                         patch_valid, None, None, None,
+                                         bank=bank)[0]),
+          base=base, consts=(bank,), reps=256)
+
+    # g2. banked scoring via the two-pass Pallas kernel (fused_bank)
+    import dataclasses as _dc
+
+    cfg_fused = _dc.replace(cfg, fused_bank=True)
+    bench("g2. banked score, fused Pallas two-pass kernel",
+          lambda i, bank: jnp.sum(_score(params, cfg_fused, nudge(q0, i),
+                                         patch_valid, None, None, None,
+                                         bank=bank)[0]),
+          base=base, consts=(bank,), reps=256)
+
+    # f2. banked estimate with the fused kernel (candidate default)
+    def banked_full_fused(i, bank):
+        q, pv, _ = image_queries(params, cfg_fused, nudge(img, i), mask)
+        scores, _ = _score(params, cfg_fused, q, pv, None, None, None,
+                           bank=bank)
+        w_k, i_k = jax.lax.top_k(scores, 100)
+        return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
+
+    bench("f2. banked estimate, fused kernel", banked_full_fused,
+          base=base, consts=(bank,), reps=256)
 
     # h. the bare [R,D]@[D,P] logits matmul, output reduced in-epilogue
     # (no [P,R] HBM write): the MXU+bank-read floor of stage g
-    def matmul_only(i):
+    def matmul_only(i, bank):
         l = jnp.dot(nudge(q0, i), bank.T,
                     preferred_element_type=jnp.float32)
         return jnp.sum(l)
 
     bench("h. logits matmul, fused-reduce (MXU floor)", matmul_only,
-          base=base)
+          base=base, consts=(bank,), reps=256)
 
     # i. top-k + solve on precomputed scores
     scores0, _ = _score(params, cfg, q0, patch_valid, None, None, None,
@@ -168,7 +201,8 @@ def main():
         w_k, i_k = jax.lax.top_k(nudge(scores0, i), 100)
         return jnp.sum(solve_pose_from_topk(r_o[i_k], r_d[i_k], w_k, up))
 
-    bench("i. top-k(540k) + closed-form solve", topk_solve, base=base)
+    bench("i. top-k(540k) + closed-form solve", topk_solve, base=base,
+          reps=256)
 
 
 if __name__ == "__main__":

@@ -78,7 +78,9 @@ def _stats_kernel(k_ref, qs_ref, scale_ref, m_ref, d_ref, m_run, d_run):
 def _score_kernel(k_ref, qs_ref, scale_ref, m_ref, w_ref, out_ref):
     logits = _dot(k_ref[:], qs_ref[:]) * scale_ref[0, 0]  # [T, P] f32
     e = jnp.exp(logits - m_ref[:])                       # [T, P]
-    out_ref[:] = (e @ w_ref[:].T).T                      # [1, T]
+    # scores [T] emitted as an (8, T/8) block: Mosaic requires the
+    # second-minor block dim to be a multiple of 8 (a (1, T) row is not)
+    out_ref[:] = (e @ w_ref[:].T).reshape(out_ref.shape)
 
 
 def bank_tile_for(r: int, target: int = 5400) -> int | None:
@@ -134,8 +136,9 @@ def banked_scores_fused(bank, q, patch_valid, *, tile: int = 5400,
         grid=(r // tile,),
         in_specs=[row_block, full(qs.shape), full((1, 1)), full((1, p)),
                   full((1, p))],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r // tile, tile), jnp.float32),
+        out_specs=pl.BlockSpec((8, tile // 8), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((8 * (r // tile), tile // 8),
+                                       jnp.float32),
         interpret=interpret,
     )(bank, qs, scale, m, coeff)
     return scores.reshape(r)

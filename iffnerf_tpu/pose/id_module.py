@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 import jax
@@ -55,9 +56,13 @@ class IDConfig:
     # two-pass Pallas kernel for the BANKED per-image scoring (inference):
     # flash-style stats + recompute over the ray bank, never materializing
     # the [P, R] logits in HBM (ops/banked_attention.py). Scores match the
-    # XLA banked path to f32 reduction-order tolerance (not bit-exactly).
-    # Falls back to the XLA path when R has no suitable tile divisor.
-    fused_bank: bool = False
+    # XLA banked path to f32 reduction-order tolerance (not bit-exactly;
+    # tests/test_banked_pose.py::test_fused_bank_kernel_parity). Measured
+    # 2.78 -> 1.88 ms on the 540k-ray scoring stage (v5e,
+    # extra/decompose_pose.py g vs g2) — DEFAULT ON; it engages only on a
+    # TPU backend with a suitable tile divisor of R, and the env kill
+    # switch IFFNERF_FUSED_BANK=0 restores the bit-identical XLA path.
+    fused_bank: bool = True
 
     @property
     def img_num_features(self) -> int:
@@ -239,6 +244,19 @@ def ray_bank(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
                         feats_rays.astype(dt))          # [R, D]
 
 
+def _use_fused_bank(config: IDConfig) -> bool:
+    """Trace-time dispatch for the fused banked-scoring kernel: only where
+    Mosaic exists (TPU backend); IFFNERF_FUSED_BANK overrides both ways
+    (=0 restores the bit-identical XLA path, =1 forces the kernel — tests
+    use it with interpret mode on CPU)."""
+    if not config.fused_bank:
+        return False
+    env = os.environ.get("IFFNERF_FUSED_BANK")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
 def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
                rays_rgb, axis_name: str | None = None, bank=None):
     """Ray-side scoring for a (shard of the) candidate set: K projection,
@@ -253,7 +271,7 @@ def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
     Returns (scores [R], attention [P, R])."""
     k = (bank if bank is not None
          else ray_bank(params, config, rays_ori, rays_dir, rays_rgb))
-    if (bank is not None and config.fused_bank and axis_name is None):
+    if bank is not None and axis_name is None and _use_fused_bank(config):
         from iffnerf_tpu.ops.banked_attention import (
             bank_tile_for,
             banked_scores_fused,
@@ -299,7 +317,9 @@ def test_image(params, config: IDConfig, img, mask, rays_ori, rays_dir,
     scores, attention, patch_valid, _ = run_attention(
         params, config, img, mask, rays_ori, rays_dir, rays_rgb
     )
-    values, indices = jax.lax.top_k(scores, rays_to_output)
+    from iffnerf_tpu.ops.topk import exact_topk
+
+    values, indices = exact_topk(scores, rays_to_output)
     return indices, values, scores, attention, patch_valid
 
 

@@ -17,6 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from iffnerf_tpu.ops.topk import exact_topk
 from iffnerf_tpu.pose.geometry import (
     compute_line_intersection_impl2,
     exclude_negatives,
@@ -107,7 +108,7 @@ def estimate_pose_single(params, config: IDConfig, img, mask, rays_ori,
     scores = _scores_maybe_fused(
         params, config, img, mask, rays_ori, rays_dirs, rays_rgb
     )
-    weights_k, idx = jax.lax.top_k(scores, k)
+    weights_k, idx = exact_topk(scores, k)
     c2w = solve_pose_from_topk(
         rays_ori[idx], rays_dirs[idx], weights_k, model_up
     )
@@ -129,7 +130,7 @@ def estimate_pose_single_banked(params, config: IDConfig, img, mask, bank,
     scores, _ = score_rays(
         params, config, q, patch_valid, None, None, None, bank=bank
     )
-    weights_k, idx = jax.lax.top_k(scores, k)
+    weights_k, idx = exact_topk(scores, k)
     c2w = solve_pose_from_topk(
         rays_ori[idx], rays_dirs[idx], weights_k, model_up
     )
@@ -164,7 +165,7 @@ def estimate_pose_single_sharded(params, config: IDConfig, img, mask,
     q, patch_valid, _ = image_queries(params, config, img, mask)
 
     def _topk_from_scores(scores, shard_rows):
-        w_loc, i_loc = jax.lax.top_k(scores, k)
+        w_loc, i_loc = exact_topk(scores, k)
         gidx = i_loc + jax.lax.axis_index("data") * shard_rows
         return scores, w_loc, gidx
 

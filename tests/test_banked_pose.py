@@ -139,20 +139,29 @@ def test_fused_bank_kernel_parity(setup, dtype):
                                atol=2e-6)
 
 
-def test_fused_bank_config_switch(setup):
-    """IDConfig.fused_bank routes score_rays' banked call through the
-    kernel (attention comes back None) and the scores still agree."""
+def test_fused_bank_config_switch(setup, monkeypatch):
+    """fused_bank (the default) routes score_rays' banked call through the
+    kernel where Mosaic exists (attention comes back None) and the scores
+    still agree; on a CPU backend the dispatch stays on the exact XLA path
+    unless IFFNERF_FUSED_BANK=1 forces it (as here, with interpret mode)."""
     cfg, params, img, mask, ro, rd, rr = setup
     import unittest.mock
 
+    assert cfg.fused_bank  # default ON
     bank = ray_bank(params, cfg, ro, rd, rr)
     q, pv, _ = image_queries(params, cfg, img, mask)
+    # CPU backend, no env override -> exact XLA path despite fused_bank
     scores_ref, att = score_rays(params, cfg, q, pv, None, None, None,
                                  bank=bank)
     assert att is not None
 
-    cfg_f = dataclasses.replace(cfg, fused_bank=True)
-    # CPU has no Mosaic backend: interpret-mode the pallas_call via patch
+    # kill switch wins over a TPU-looking env
+    monkeypatch.setenv("IFFNERF_FUSED_BANK", "0")
+    _, att_off = score_rays(params, cfg, q, pv, None, None, None, bank=bank)
+    assert att_off is not None
+
+    # forced ON: CPU has no Mosaic backend, interpret-mode via patch
+    monkeypatch.setenv("IFFNERF_FUSED_BANK", "1")
     from iffnerf_tpu.ops import banked_attention as ba
 
     orig = ba.banked_scores_fused
@@ -161,11 +170,16 @@ def test_fused_bank_config_switch(setup):
         return orig(bank, q, pv, tile=tile, interpret=True)
 
     with unittest.mock.patch.object(ba, "banked_scores_fused", interp):
-        scores_f, att_f = score_rays(params, cfg_f, q, pv, None, None,
+        scores_f, att_f = score_rays(params, cfg, q, pv, None, None,
                                      None, bank=bank)
     assert att_f is None
     np.testing.assert_allclose(np.asarray(scores_f), np.asarray(scores_ref),
                                rtol=2e-5, atol=2e-6)
+
+    # fused_bank=False disables regardless of env
+    cfg_off = dataclasses.replace(cfg, fused_bank=False)
+    _, att2 = score_rays(params, cfg_off, q, pv, None, None, None, bank=bank)
+    assert att2 is not None
 
 
 def test_bank_tile_for():
