@@ -8,9 +8,15 @@ CKPT_EXTS = (".npz", ".th")
 
 
 def get_highest_valid_checkpoint(root_dir: str) -> str:
+    """Latest FIELD checkpoint in the run dir. The pose driver saves its
+    own ``id_module.npz`` next to it on a first run; the reference dodges
+    the resulting ambiguity only because ``tensorf_*.th`` sorts after
+    ``id_module.th`` — exclude the ID artifact explicitly so a re-run
+    against the same exp dir never mistakes it for the radiance field."""
     for file_name in sorted(os.listdir(root_dir), reverse=True):
         path = os.path.join(root_dir, file_name)
-        if os.path.isfile(path) and path.endswith(CKPT_EXTS):
+        if (os.path.isfile(path) and path.endswith(CKPT_EXTS)
+                and file_name != "id_module.npz"):
             return path
     return ""
 
