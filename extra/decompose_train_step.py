@@ -1,38 +1,77 @@
-"""Decompose the alpha-masked training step at lego scale (run ALONE on
-the TPU; VERDICT round-1 #5).
+"""Stage decomposition of the production 300^3 masked train step.
 
-All stages are timed in ONE process (relay throughput drifts >4x between
-processes, see BASELINE.md measurement notes):
+The 300^3 alpha-masked phase is the wall-clock king of the reference
+schedule (23k of 30k iterations at 0.73-0.85 s/it, reference
+train.py:262-349; BASELINE.md run history) but round 3's roofline table
+only covered the 128^3 unmasked step. This script times the full masked
+step and its stages as separate jitted programs on the same synthetic
+lego-scale scene (extra/bench_eval_render.build_scene: 313^2-class grid,
+spherical-shell mask), so the optimization target is measurable:
 
-  * full jitted step (fwd + bwd + adam) at the configured compact_ratio
-  * the same step at an alternative ratio (--ratio_b) — measures what a
-    count-dependent buffer would save in training
-  * render forward alone (is_train=True march)
-  * value_and_grad alone (no optimizer update)
-  * the [N, S] alpha-mask trilerp
-  * compacted feature forward on k slots
-  * the feature VJP on k slots — its transposed gathers are row
-    scatter-adds into the factor tables (~10x a gather on TPU)
+    python extra/decompose_train_step.py [--grid 300] [--batch 4096]
+        [--compact_ratio 0.5] [--occupancy shell|sphere]
 
-Usage: python extra/decompose_train_step.py [--grid 300] [--batch 4096]
+Stage programs (each timed with the decompose_pose reps-in-graph method —
+an on-device fori_loop amortizes the ~60 ms relay rtt):
+
+  A. full train step (fwd+bwd+adam), the production program
+  B. forward only (render_rays, is_train=True)
+  C. feature evaluation fwd on the k-sample compact buffer
+  D. feature evaluation fwd+bwd (adds the gather-transpose scatter-adds
+     into the plane/line grids -- the suspected backward hot spot)
+  E. alpha gate + block nonzero + coord gather (index machinery)
+  F. raw2alpha transmittance fwd+bwd on the dense [N, S]
+  G. shading head fwd+bwd on [N, app_dim]
+  H. adam update alone (optax transform + apply_updates)
 """
 
+from __future__ import annotations
+
 import argparse
-import dataclasses
 import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from microbench_feature_eval import timeit, rtt, _pull  # noqa: E402 (runs runtime setup)
+from iffnerf_tpu.runtime import setup as _runtime_setup
+
+_runtime_setup()
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from bench_eval_render import build_scene, camera_rays  # noqa: E402
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+
+def _pull(x):
+    return float(np.asarray(x))
+
+
+def bench(label, make_body, reps=8, base=0.0, consts=(), timed=3):
+    # large closures must flow as ARGUMENTS: closed-over arrays become
+    # jaxpr constants and the remote-compile request exceeds the relay's
+    # body-size limit (HTTP 413)
+    @jax.jit
+    def looped(*consts):
+        def body(i, carry):
+            return carry + make_body(i, *consts)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    _pull(looped(*consts))
+    ts = []
+    for _ in range(timed):
+        t0 = time.perf_counter()
+        _pull(looped(*consts))
+        ts.append(time.perf_counter() - t0)
+    dt = (float(np.median(ts)) - base) / reps * 1e3
+    print(f"{label:58s} {dt:9.2f} ms  (reps={reps})", flush=True)
+    return dt
 
 
 def main():
@@ -40,106 +79,220 @@ def main():
     ap.add_argument("--grid", type=int, default=300)
     ap.add_argument("--extent", type=float, default=1.5)
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--ratio_b", type=float, default=0.125,
-                    help="alternative compact_ratio to A/B against")
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--compact_ratio", type=float, default=0.5)
+    ap.add_argument("--occupancy", choices=["shell", "sphere"],
+                    default="sphere",
+                    help="shell: trained-lego-like ~9%% valid; sphere: the "
+                         "round-2 fixture's solid ball (~33%% valid, the "
+                         "0.73-0.77 s/it baseline regime)")
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
+
+    import dataclasses
 
     from iffnerf_tpu.models.field import (
         compute_features_fused,
+        gate_group_for,
+        make_alpha_mask,
         normalize_coord,
-        sample_alpha,
+        sample_alpha_gate,
     )
-    from iffnerf_tpu.models.render import render_rays, sample_ray
+    from iffnerf_tpu.models.render import _BLOCK, render_rays, sample_ray
+    from iffnerf_tpu.models.shading import apply_shading
+    from iffnerf_tpu.ops.ray_march import raw2alpha
     from iffnerf_tpu.train.trainer import make_optimizer, make_train_step
 
     cfg, params, mask = build_scene(args.grid, args.extent)
+    if args.occupancy == "sphere":
+        g = 200
+        lin = np.linspace(-args.extent, args.extent, g, dtype=np.float32)
+        zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+        r = np.sqrt(xx**2 + yy**2 + zz**2)
+        vol = (r < 0.62 * args.extent).astype(np.float32)
+        mask = make_alpha_mask(
+            jnp.asarray(vol),
+            np.array([[-args.extent] * 3, [args.extent] * 3], np.float32),
+        )
+    cfg = dataclasses.replace(cfg, compact_ratio=args.compact_ratio)
+    group = gate_group_for(mask.volume.shape, np.asarray(mask.aabb),
+                           cfg.step_size, mask.bits_window, dir_bound=1.0)
+    cfg = dataclasses.replace(cfg, mask_gate_group=group)
     n_samples = cfg.n_samples
-    print(f"grid {args.grid}^3, {n_samples} samples/ray, batch {args.batch}, "
-          f"compact_ratio {cfg.compact_ratio}")
+    print(f"grid {cfg.grid_size} n_samples {n_samples} batch {args.batch} "
+          f"compact_ratio {cfg.compact_ratio} gate_group {group}")
 
-    # training-like ray batch: AABB hits from the benchmark camera
-    rays_all = camera_rays()
-    from iffnerf_tpu.models.render import filtering_rays_bbox
+    # real training rays: random pixels of the blender orbit camera
+    all_rays = camera_rays()
+    rng = np.random.default_rng(0)
+    sel = rng.choice(all_rays.shape[0], args.batch, replace=False)
+    rays = jnp.asarray(all_rays[sel])
+    rgbs = jax.random.uniform(jax.random.PRNGKey(3), (args.batch, 4))
+    key = jax.random.PRNGKey(1)
 
-    hits = np.asarray(filtering_rays_bbox(cfg, jnp.asarray(rays_all)))
-    idx = np.random.default_rng(0).choice(np.nonzero(hits)[0], args.batch,
-                                          replace=False)
-    rays = jnp.asarray(rays_all[idx])
-    rgbs = jax.random.uniform(jax.random.PRNGKey(5), (args.batch, 4))
-    key = jax.random.PRNGKey(7)
+    # measured occupancy of the sample window (drives which compact branch
+    # the switch takes -- the production number is only comparable at a
+    # matching valid fraction)
+    xyz, z_vals, ray_valid = sample_ray(cfg, rays[:, :3], rays[:, 3:6],
+                                        key=key, is_train=True,
+                                        n_samples=n_samples)
+    gated = ray_valid & sample_alpha_gate(mask, xyz, cfg.mask_gate_group)
+    frac = float(jnp.mean(gated))
+    n_tot = args.batch * n_samples
+    k = max(((int(n_tot * cfg.compact_ratio) + 127) // 128) * 128, 128)
+    blk = float(jnp.mean(jnp.any(
+        gated.reshape(-1, _BLOCK), axis=-1).astype(jnp.float32)))
+    print(f"valid fraction {frac:.3f} (block-any {blk:.3f}) "
+          f"-> compact buffer k={k} of {n_tot} "
+          f"[{'compact' if blk * n_tot < k else 'DENSE FALLBACK'}]")
+
+    base = 0.0
+    _pull(jnp.float32(0))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _pull(jnp.float32(0))
+    base = (time.perf_counter() - t0) / 10
+    print(f"scalar pull rtt {base * 1e3:.1f} ms")
+
+    reps = args.reps
     weights = {"l1": jnp.float32(8e-5), "tv_d": jnp.float32(0),
                "tv_a": jnp.float32(0)}
-    bg = jnp.ones(3)
-    arange = jnp.arange(args.batch, dtype=jnp.int32)
 
-    def time_step(config, label):
-        state = make_optimizer(params, 0.02, 0.001, 0.9999)
-        step = make_train_step(
-            config, state.tx, has_mask=True, n_samples=n_samples,
-            ndc_ray=False, ortho_weight=0.0, use_l1=True,
-            use_tv_density=False, use_tv_app=False, rgb_channels=4,
-        )
-        # donated args -> chain the state through the loop instead of timeit
-        p = jax.tree.map(jnp.array, params)
-        o = state.opt_state
-        p, o, mse = step(p, o, mask, rays, rgbs, arange, key, bg, weights)
-        _pull(mse)
-        base = rtt()
+    # ---- A. the full production step ----
+    state = make_optimizer(params, 0.02, 1e-3, 0.9999)
+    step_fn = make_train_step(
+        cfg, state.tx, has_mask=True, n_samples=n_samples, ndc_ray=False,
+        ortho_weight=0.0, use_l1=True, use_tv_density=False,
+        use_tv_app=False, rgb_channels=4,
+    )
+    idx = jnp.arange(args.batch, dtype=jnp.int32)
+
+    # the step donates params/opt_state; time it as a host loop of real
+    # dispatches instead (the production trainer's own dispatch pattern)
+    p = jax.tree.map(jnp.array, params)
+    o = jax.tree.map(jnp.array, state.opt_state)  # the step donates both
+    p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key, jnp.ones(3),
+                        weights)
+    _pull(mse)
+    ts = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            p, o, mse = step(p, o, mask, rays, rgbs, arange, key, bg, weights)
+        for _ in range(reps):
+            p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key,
+                                jnp.ones(3), weights)
         _pull(mse)
-        dt = ((time.perf_counter() - t0) - base) / args.reps * 1e3
-        print(f"{label:46s} {dt:8.1f} ms")
-        return dt
+        ts.append(time.perf_counter() - t0)
+    a_ms = (float(np.median(ts)) - base) / reps * 1e3
+    print(f"{'A. full masked train step (fwd+bwd+adam)':58s} {a_ms:9.2f} ms"
+          f"  (reps={reps})", flush=True)
 
-    time_step(cfg, f"train step (ratio {cfg.compact_ratio})")
-    if args.ratio_b and args.ratio_b != cfg.compact_ratio:
-        cfg_b = dataclasses.replace(cfg, compact_ratio=args.ratio_b)
-        time_step(cfg_b, f"train step (ratio {args.ratio_b})")
+    # ---- B. forward only ----
+    def fwd(i, params, mask, rays):
+        rgb, *_ = render_rays(cfg, params, mask,
+                              rays.at[0, 0].add(jnp.float32(i) * 1e-12),
+                              key=key, is_train=True, bg_color=1.0,
+                              n_samples=n_samples)
+        return jnp.sum(rgb)
 
-    # ---- forward alone (same march, no grad) ----
-    fwd = jax.jit(lambda p: render_rays(
-        cfg, p, mask, rays, key=key, is_train=True, bg_color=1.0,
-        n_samples=n_samples)[0])
-    timeit(fwd, params, n=args.reps, label="render forward (is_train)")
+    bench("B. forward only (masked render_rays)", fwd, reps=reps,
+          base=base, consts=(params, mask, rays))
 
-    # ---- value_and_grad alone ----
-    def loss(p):
-        rgb = render_rays(cfg, p, mask, rays, key=key, is_train=True,
-                          bg_color=1.0, n_samples=n_samples)[0]
-        return jnp.mean((rgb - rgbs[:, :3]) ** 2)
+    # ---- C/D. feature evaluation on the k-sample buffer ----
+    coords_f = normalize_coord(cfg, xyz).reshape(-1, 3)
+    valid_f = gated.reshape(-1)
+    (bidx,) = jnp.nonzero(
+        jnp.any(valid_f.reshape(-1, _BLOCK), axis=-1), size=k // _BLOCK,
+        fill_value=n_tot // _BLOCK - 1,
+    )
+    sidx = (bidx[:, None] * _BLOCK
+            + jnp.arange(_BLOCK, dtype=bidx.dtype)[None, :]).reshape(-1)
+    cc = jnp.take(coords_f, sidx, axis=0)
+    jax.block_until_ready(cc)
 
-    vg = jax.jit(jax.grad(loss))
-    timeit(vg, params, n=args.reps, label="grad(loss) (no adam)")
+    def feat_fwd(i, params, cc):
+        s, a = compute_features_fused(
+            cfg, params, cc.at[0, 0].add(jnp.float32(i) * 1e-12))
+        return jnp.sum(s) + jnp.sum(a)
 
-    # ---- stage micro: mask trilerp on the full [N, S] march ----
-    xyz, _, _ = sample_ray(cfg, rays[:, :3], rays[:, 3:6], key=key,
-                           is_train=True, n_samples=n_samples)
-    trilerp = jax.jit(lambda x: sample_alpha(mask, x))
-    timeit(trilerp, xyz, n=args.reps,
-           label=f"alpha-mask trilerp [{args.batch}x{n_samples}]")
+    bench(f"C. feature eval fwd (k={k})", feat_fwd, reps=reps, base=base,
+          consts=(params, cc))
 
-    # ---- stage micro: feature fwd + VJP on k compacted slots ----
-    n_total = args.batch * n_samples
-    for ratio in (cfg.compact_ratio, args.ratio_b):
-        if not ratio:
-            continue
-        k = max(((int(n_total * ratio) + 127) // 128) * 128, 128)
-        coords = jax.random.uniform(jax.random.PRNGKey(2), (k, 3),
-                                    minval=-1, maxval=1)
-        feat = jax.jit(lambda p, c: compute_features_fused(cfg, p, c))
-        timeit(feat, params, coords, n=args.reps,
-               label=f"features fwd k={k/1e6:.2f}M")
-
-        def feat_sum(p, c):
-            s, a = compute_features_fused(cfg, p, c)
+    def feat_bwd(i, params, cc):
+        def f(p):
+            s, a = compute_features_fused(
+                cfg, p, cc.at[0, 0].add(jnp.float32(i) * 1e-12))
             return jnp.sum(s) + jnp.sum(a)
 
-        fvjp = jax.jit(jax.grad(feat_sum))
-        timeit(fvjp, params, coords, n=args.reps,
-               label=f"features VJP k={k/1e6:.2f}M (row scatter-adds)")
+        v, g = jax.value_and_grad(f)(params)
+        return v + sum(jnp.sum(l) for l in jax.tree.leaves(g))
+
+    bench(f"D. feature eval fwd+bwd (k={k})", feat_bwd, reps=reps,
+          base=base, consts=(params, cc))
+
+    # ---- E. gate + nonzero + gather ----
+    def gate_idx(i, params, mask, rays):
+        xyz, z, rv = sample_ray(
+            cfg, rays[:, :3].at[0, 0].add(jnp.float32(i) * 1e-12),
+            rays[:, 3:6], key=key, is_train=True, n_samples=n_samples)
+        g = rv & sample_alpha_gate(mask, xyz, cfg.mask_gate_group)
+        vf = g.reshape(-1)
+        (bi,) = jnp.nonzero(jnp.any(vf.reshape(-1, _BLOCK), -1),
+                            size=k // _BLOCK,
+                            fill_value=n_tot // _BLOCK - 1)
+        si = (bi[:, None] * _BLOCK
+              + jnp.arange(_BLOCK, dtype=bi.dtype)[None, :]).reshape(-1)
+        c = jnp.take(normalize_coord(cfg, xyz).reshape(-1, 3), si, axis=0)
+        return jnp.sum(c)
+
+    bench("E. sample+gate+block-nonzero+coord gather", gate_idx, reps=reps,
+          base=base, consts=(params, mask, rays))
+
+    # ---- F. raw2alpha fwd+bwd on dense [N, S] ----
+    sig0 = jnp.abs(jax.random.normal(key, (args.batch, n_samples))) * 0.1
+    dists = jnp.full((args.batch, n_samples), 2.0 / n_samples)
+
+    def march(i, sig0):
+        def f(s):
+            alpha, w, _ = raw2alpha(s, dists * cfg.distance_scale)
+            return jnp.sum(w) + 0.1 * jnp.mean(jnp.exp(jnp.abs(alpha)))
+
+        v, g = jax.value_and_grad(f)(
+            sig0.at[0, 0].add(jnp.float32(i) * 1e-12))
+        return v + jnp.sum(g)
+
+    bench(f"F. raw2alpha fwd+bwd (dense {args.batch}x{n_samples})", march,
+          reps=reps, base=base, consts=(sig0,))
+
+    # ---- G. shading fwd+bwd ----
+    feats = jax.random.normal(key, (args.batch, cfg.app_dim))
+    vdirs = rays[:, 3:6]
+
+    def shade(i, params, feats):
+        def f(p):
+            rgb, _ = apply_shading(
+                p["shading"], cfg.shading_mode, None, vdirs,
+                feats.at[0, 0].add(jnp.float32(i) * 1e-12),
+                view_pe=cfg.view_pe, pos_pe=cfg.pos_pe, fea_pe=cfg.fea_pe)
+            return jnp.sum(rgb)
+
+        v, g = jax.value_and_grad(f)(params)
+        return v + sum(jnp.sum(l) for l in jax.tree.leaves(g["shading"]))
+
+    bench(f"G. shading fwd+bwd ({args.batch}x{cfg.app_dim})", shade,
+          reps=reps, base=base, consts=(params, feats))
+
+    # ---- H. adam alone ----
+    g0 = jax.tree.map(jnp.ones_like, params)
+
+    def adam(i, params, g0, o):
+        g = jax.tree.map(lambda x: x + jnp.float32(i) * 1e-12, g0)
+        import optax
+
+        upd, _ = state.tx.update(g, o, params)
+        newp = optax.apply_updates(params, upd)
+        return sum(jnp.sum(l) for l in jax.tree.leaves(newp))
+
+    bench("H. adam update alone", adam, reps=reps, base=base,
+          consts=(params, g0, state.opt_state))
 
 
 if __name__ == "__main__":
