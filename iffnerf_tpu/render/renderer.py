@@ -223,8 +223,10 @@ def evaluation(dataset, config: FieldConfig, params, mask: AlphaMask | None,
 
     w, h = dataset.img_wh
     frames = []
+    times = []  # per-image render seconds: [0] carries the bucket compiles
     t0 = time.perf_counter()
     for idx in idxs:
+        t_img = time.perf_counter()
         rays = np.asarray(dataset.all_rays[idx]).reshape(-1,
                                                          dataset.all_rays.shape[-1])
         rgb, depth = render_chunked(
@@ -233,6 +235,7 @@ def evaluation(dataset, config: FieldConfig, params, mask: AlphaMask | None,
         )
         rgb = np.asarray(rgb).reshape(h, w, 3)
         depth = np.asarray(depth).reshape(h, w)
+        times.append(time.perf_counter() - t_img)
 
         if len(dataset.all_rgbs):
             gt = np.asarray(dataset.all_rgbs[idx]).reshape(h, w, -1)
@@ -270,6 +273,11 @@ def evaluation(dataset, config: FieldConfig, params, mask: AlphaMask | None,
             if ssims:
                 f.write(f"SSIM: {np.mean(ssims)}\n")
             f.write(f"n_images: {len(idxs)} time_s: {elapsed}\n")
+            # image 0 pays the per-span-bucket compiles; the warm rate is
+            # the median of the rest (reference renderer.py:104-112 prints
+            # the equivalent CUDA-event per-image times)
+            f.write(f"first_image_s: {times[0]:.3f} "
+                    f"warm_median_s: {np.median(times[1:] or times):.3f}\n")
     return psnrs
 
 

@@ -240,6 +240,51 @@ def main():
               f"{flops_to_string(pose_flops)}")
         print(f"          {mfu_string(pose_flops, pose_ms, pose_cost.get('bytes accessed'))}")
 
+        # ---- the PRODUCTION banked per-image program (bench.py default):
+        # image-independent ray keys precomputed once per object, per-image
+        # cost = ViT + (fused) bank scoring + exact blocked top-k + solve
+        from iffnerf_tpu.ops.topk import exact_topk
+        from iffnerf_tpu.pose.id_module import (
+            image_queries,
+            ray_bank,
+            score_rays,
+        )
+
+        bank = ray_bank(pparams, cfg, r_o, r_d, r_rgb)
+        jax.block_until_ready(bank)
+
+        import dataclasses
+
+        def make_banked(c):
+            @jax.jit
+            def pose_banked(pp, img, mask, bank, ro, rd):
+                q, pv, _ = image_queries(pp, c, img, mask)
+                scores, _ = score_rays(pp, c, q, pv, None, None, None,
+                                       bank=bank)
+                w_k, i_k = exact_topk(scores, k_top)
+                return solve_pose_from_topk(ro[i_k], rd[i_k], w_k, up)
+
+            return pose_banked
+
+        bargs = (pparams, img, mask, bank, r_o, r_d)
+        # XLA cost analysis can't see inside a Pallas custom call: take
+        # FLOPs/bytes from the mathematically identical XLA-path lowering
+        # (the fused kernel recomputes the logits pass twice, so its true
+        # FLOPs/bank-bytes are ~2x the reported single-pass figures)
+        bcost = make_banked(
+            dataclasses.replace(cfg, fused_bank=False)
+        ).lower(*bargs).compile().cost_analysis()
+        bflops = bcost.get("flops", float("nan"))
+        banked_fn = make_banked(cfg)
+        bms = amortized_ms(lambda: banked_fn(*bargs))
+        bank_gb = bank.size * bank.dtype.itemsize / 1e9
+        print(f"pose program BANKED ({bank.shape[0]} rays, bank "
+              f"{bank_gb * 1e3:.0f} MB {bank.dtype}, fused_bank="
+              f"{cfg.fused_bank}): {bms:.3f} ms  {flops_to_string(bflops)}"
+              " [FLOPs/bytes from the XLA-path lowering; the fused kernel"
+              " does ~2x both]")
+        print(f"          {mfu_string(bflops, bms, bcost.get('bytes accessed'))}")
+
     if args.trace:
         with jax.profiler.trace(args.trace):
             for _ in range(5):
