@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--iters", type=int, default=3,
                     help="timed optimizer steps (after the compile step)")
+    ap.add_argument("--scan_steps", type=int, default=10,
+                    help="also time make_id_train_scan chunks of this many "
+                         "steps per dispatch (0 to skip)")
     args = ap.parse_args()
 
     from iffnerf_tpu.pose import IDConfig, init_id_module
@@ -116,6 +119,44 @@ def main():
     print(f"projected 1500-iteration wall time: {total / 3600:.2f} h "
           f"({1500 * step_s / 3600:.2f} h steps + "
           f"{150 * regen_s / 3600:.2f} h regeneration)", flush=True)
+
+    # ---- the production dispatch pattern: scan-of-steps ----
+    # One lax.scan dispatch per ray-renewal period (train_id_module's
+    # scan_steps). Through a relay-attached TPU the per-step dispatch above
+    # is inflated by pytree rebinding (BASELINE round 4: 20.3 s host vs
+    # 0.43 s device); this is the honest per-step wall number.
+    if args.scan_steps > 0:
+        from iffnerf_tpu.pose.trainer import make_id_train_scan
+
+        scan_fn = make_id_train_scan(icfg, tx, args.accum, rgba=False)
+        pool = imgs  # [accum, H, W, 3] doubles as the image pool
+        pposes = poses
+        idx = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, pool.shape[0], (args.scan_steps, args.accum)
+            ),
+            jnp.int32,
+        )
+        sp = jax.tree.map(jnp.array, iparams)
+        so = tx.init(sp)
+        t0 = time.perf_counter()
+        sp, so, losses = scan_fn(sp, so, pool, pposes, idx, rays_ori,
+                                 -rays_dirs, rays_rgb)
+        jax.block_until_ready(losses)
+        print(f"scan compile+first ({args.scan_steps} steps/dispatch): "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            sp, so, losses = scan_fn(sp, so, pool, pposes, idx, rays_ori,
+                                     -rays_dirs, rays_rgb)
+            jax.block_until_ready(losses)
+            ts.append(time.perf_counter() - t0)
+        per_step = float(np.median(ts)) / args.scan_steps
+        print(f"scan-of-steps wall: {per_step:.3f} s/it "
+              f"({args.scan_steps} steps/dispatch) -> projected 1500 it: "
+              f"{(1500 * per_step + 150 * regen_s) / 60:.1f} min",
+              flush=True)
 
     try:
         cost = step_fn.lower(

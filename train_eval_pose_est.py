@@ -58,6 +58,11 @@ def add_pose_args(parser):
                              "training from scratch (no pretrained weights)")
     parser.add_argument("--gen_points", type=int, default=20000)
     parser.add_argument("--accum_steps", type=int, default=32)
+    parser.add_argument("--id_scan_steps", type=int, default=10,
+                        help="optimizer steps per on-device lax.scan "
+                             "dispatch during ID-module training (10 = one "
+                             "dispatch per ray-renewal period; 0 = one "
+                             "dispatch per step)")
     parser.add_argument("--save_debug", type=int, default=0,
                         help="dump per-image solver intermediates as "
                              "sample_results_<i>.npz next to --out_path "
@@ -132,6 +137,7 @@ def pretrain_single_object(args, data_path, loader, ckpt_path, sequence_id,
         sequence_id=sequence_id, n_iterations=args.id_iters,
         gradient_accumulation_steps=args.accum_steps,
         start_iterations=start_iterations,
+        scan_steps=args.id_scan_steps,
     )
     save_pytree(id_ckpt_path, id_params, {"epoch": args.id_iters})
 
