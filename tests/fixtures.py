@@ -21,6 +21,31 @@ def _sigma(x):
     return 30.0 / (1.0 + np.exp(-20.0 * (0.7 - r)))
 
 
+# A sparse "cluster" stand-in for chunky real scenes (lego's trained
+# alpha-mask occupancy is ~0.084 of its shrunk bbox window): one central
+# ball plus six axis satellites, solid interiors so the analytic GT
+# renders alias-free at the generator's step size.
+_CLUSTER = [
+    (np.array([0.0, 0.0, 0.0]), 0.22),
+    (np.array([0.47, 0.0, 0.0]), 0.125),
+    (np.array([-0.47, 0.0, 0.0]), 0.125),
+    (np.array([0.0, 0.47, 0.0]), 0.125),
+    (np.array([0.0, -0.47, 0.0]), 0.125),
+    (np.array([0.0, 0.0, 0.47]), 0.125),
+    (np.array([0.0, 0.0, -0.47]), 0.125),
+]
+
+
+def _sigma_cluster(x):
+    s = np.full(x.shape[:-1], np.inf)
+    for c, r in _CLUSTER:
+        s = np.minimum(s, np.linalg.norm(x - c, axis=-1) - r)
+    return 30.0 / (1.0 + np.exp(160.0 * s))
+
+
+_SIGMA_FNS = {"ball": _sigma, "cluster": _sigma_cluster}
+
+
 def _color(x):
     return 0.5 + 0.45 * np.cos(np.pi * x[..., :3] * 2.0)
 
@@ -36,7 +61,8 @@ def _lookat_blender(campos, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
     return c2w
 
 
-def _render_view(c2w_blender, wh: int, n_steps: int = 192):
+def _render_view(c2w_blender, wh: int, n_steps: int = 192,
+                 sigma_fn=_sigma):
     w = h = wh
     focal = 0.5 * w / np.tan(0.5 * CAMERA_ANGLE_X)
     i, j = np.meshgrid(
@@ -59,7 +85,7 @@ def _render_view(c2w_blender, wh: int, n_steps: int = 192):
     trans = np.ones((h, w))
     for t in ts:
         pts = origin + dirs * t
-        alpha = 1.0 - np.exp(-_sigma(pts) * dt)
+        alpha = 1.0 - np.exp(-sigma_fn(pts) * dt)
         weight = trans * alpha
         rgb += weight[..., None] * _color(pts)
         trans *= 1.0 - alpha
@@ -69,8 +95,14 @@ def _render_view(c2w_blender, wh: int, n_steps: int = 192):
 
 
 def make_blender_fixture(root: str, n_train: int = 10, n_test: int = 3,
-                         wh: int = 48, seed: int = 0):
-    """Create the dataset under ``root``; returns root."""
+                         wh: int = 48, seed: int = 0,
+                         shape: str = "ball", n_steps: int = 192):
+    """Create the dataset under ``root``; returns root.
+
+    ``shape="ball"`` (default) is the dense soft sphere every test uses;
+    ``shape="cluster"`` is a sparse lego-occupancy scene (~0.08 of its
+    shrunk bbox) for production-occupancy schedule runs.
+    """
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -85,7 +117,8 @@ def make_blender_fixture(root: str, n_train: int = 10, n_test: int = 3,
                  np.sin(phi)]
             )
             c2w = _lookat_blender(campos)
-            img = _render_view(c2w, wh)
+            img = _render_view(c2w, wh, n_steps=n_steps,
+                               sigma_fn=_SIGMA_FNS[shape])
             rel = f"./{split}/r_{k}"
             Image.fromarray(img, "RGBA").save(
                 os.path.join(root, f"{rel[2:]}.png")
