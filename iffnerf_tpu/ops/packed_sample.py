@@ -25,9 +25,16 @@ automatically).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in reformulation of the gather backward: sort the scatter indices and
+# emit a hinted (indices_are_sorted) scatter-add instead of XLA's derived
+# unsorted one. OFF by default — flip only where
+# extra/microbench_scatter_vjp.py measures a win (BASELINE.md).
+SORTED_SCATTER_GRAD = os.environ.get("IFFNERF_SORTED_SCATTER", "0") == "1"
 
 
 def _shift(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -204,6 +211,42 @@ def occupancy_grouped(packed_bits: jnp.ndarray, d: int, h: int, w: int,
     return occ[..., :s]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_contract(packed, idx, weights, c: int):
+    """packed[idx] reshaped to [..., K, c], contracted with weights [..., K]
+    -> [..., c]. Same value as the inline take+einsum in packed_bilerp /
+    packed_lerp; the custom backward sorts the k scatter indices and uses a
+    hinted scatter-add (plus a re-gather of the rows instead of saving
+    k*K*c residual floats)."""
+    kc = weights.shape[-1]
+    rows = jnp.take(packed, idx, axis=0)
+    corners = rows.reshape(rows.shape[:-1] + (kc, c))
+    return jnp.einsum("...kc,...k->...c", corners, weights)
+
+
+def _gather_contract_fwd(packed, idx, weights, c: int):
+    return _gather_contract(packed, idx, weights, c), (packed, idx, weights)
+
+
+def _gather_contract_bwd(c: int, res, g):
+    packed, idx, weights = res
+    kc = weights.shape[-1]
+    rows = jnp.take(packed, idx, axis=0)  # regather: cheaper than residuals
+    corners = rows.reshape(rows.shape[:-1] + (kc, c))
+    g_weights = jnp.einsum("...c,...kc->...k", g, corners)
+    v = jnp.einsum("...c,...k->...kc", g, weights).reshape(-1, kc * c)
+    flat_idx = idx.reshape(-1)
+    order = jnp.argsort(flat_idx)
+    g_packed = jnp.zeros_like(packed).at[flat_idx[order]].add(
+        v[order], indices_are_sorted=True
+    )
+    g_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return g_packed, g_idx, g_weights
+
+
+_gather_contract.defvjp(_gather_contract_fwd, _gather_contract_bwd)
+
+
 def _pix(g, size: int):
     return (g + 1.0) * 0.5 * (size - 1)
 
@@ -235,13 +278,15 @@ def packed_bilerp(packed: jnp.ndarray, h: int, w: int, c: int,
     x0, wx0, wx1 = _corner_weights(px, w)
     y0, wy0, wy1 = _corner_weights(py, h)
 
-    rows = jnp.take(packed, y0 * w + x0, axis=0)  # [..., 4C]
     # corner weights kept as a [..., 4] stack and contracted via einsum:
     # trailing-size-1 broadcast temps ([N, 1]) tile to (8, 128) on TPU — a
     # 128x memory expansion when autodiff saves them as residuals.
     weights = jnp.stack(
         [wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], axis=-1
     )
+    if SORTED_SCATTER_GRAD:
+        return _gather_contract(packed, y0 * w + x0, weights, c)
+    rows = jnp.take(packed, y0 * w + x0, axis=0)  # [..., 4C]
     corners = rows.reshape(rows.shape[:-1] + (4, c))
     return jnp.einsum("...kc,...k->...c", corners, weights)
 
@@ -252,8 +297,10 @@ def packed_lerp(packed: jnp.ndarray, l: int, c: int,
     coords [...] in [-1, 1]. Returns [..., C]."""
     p = _pix(coords, l)
     z0, w0, w1 = _corner_weights(p, l)
-    rows = jnp.take(packed, z0, axis=0)
     weights = jnp.stack([w0, w1], axis=-1)
+    if SORTED_SCATTER_GRAD:
+        return _gather_contract(packed, z0, weights, c)
+    rows = jnp.take(packed, z0, axis=0)
     corners = rows.reshape(rows.shape[:-1] + (2, c))
     return jnp.einsum("...kc,...k->...c", corners, weights)
 
