@@ -143,6 +143,10 @@ def main():
         sp, so, losses = scan_fn(sp, so, pool, pposes, idx, rays_ori,
                                  -rays_dirs, rays_rgb)
         jax.block_until_ready(losses)
+        # force completion with a data pull: through the axon relay
+        # block_until_ready can return early (see microbench_scatter_vjp
+        # and every BASELINE measurement)
+        _ = np.asarray(losses[-1:])
         print(f"scan compile+first ({args.scan_steps} steps/dispatch): "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
         ts = []
@@ -151,6 +155,7 @@ def main():
             sp, so, losses = scan_fn(sp, so, pool, pposes, idx, rays_ori,
                                      -rays_dirs, rays_rgb)
             jax.block_until_ready(losses)
+            _ = np.asarray(losses[-1:])
             ts.append(time.perf_counter() - t0)
         per_step = float(np.median(ts)) / args.scan_steps
         print(f"scan-of-steps wall: {per_step:.3f} s/it "

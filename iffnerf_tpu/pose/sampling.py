@@ -63,8 +63,12 @@ def generate_samples_from_occupancy_grid(key, mask: AlphaMask, n: int):
     total = jnp.maximum(cdf[-1], 1)
     k1, k2 = jax.random.split(key)
     u = jax.random.randint(k1, (n,), 0, total)
-    # flat index of the (u+1)-th occupied voxel
+    # flat index of the (u+1)-th occupied voxel; the clamp covers an
+    # all-empty mask (cdf all zero -> searchsorted returns d*h*w for every
+    # draw) so degenerate volumes yield in-grid samples instead of
+    # out-of-aabb points
     flat_idx = jnp.searchsorted(cdf, u, side="right")
+    flat_idx = jnp.minimum(flat_idx, d * h * w - 1)
     zi = flat_idx // (h * w)
     yi = (flat_idx // w) % h
     xi = flat_idx % w

@@ -14,6 +14,7 @@ program instead of 32 backward passes + a host loop.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -198,6 +199,20 @@ def train_id_module(key, id_params, id_config: IDConfig, rays_generator,
     poses = np.asarray(train_dataset.poses)
     rgba = all_rgbs.shape[-1] == 4
 
+    if scan_steps > 0:
+        # the scan path keeps the WHOLE image pool device-resident (the
+        # scan body indexes it on device); cap the HBM it may claim and
+        # fall back to the per-step path (which stages one accum batch per
+        # dispatch) for oversized pools
+        pool_gb = all_rgbs.nbytes / 1e9
+        max_gb = float(os.environ.get("IFFNERF_ID_POOL_GB", "4"))
+        if pool_gb > max_gb:
+            print(
+                f"[id-train] image pool {pool_gb:.1f} GB exceeds the "
+                f"device-resident budget ({max_gb} GB, IFFNERF_ID_POOL_GB)"
+                " — falling back to per-step dispatch (scan_steps=0)"
+            )
+            scan_steps = 0
     if scan_steps > 0:
         scan_fn = make_id_train_scan(
             id_config, tx, gradient_accumulation_steps, rgba=rgba

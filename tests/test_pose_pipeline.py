@@ -260,3 +260,24 @@ def test_pose_debug_dumps(trained_field, tmp_path):
     assert sorted(p.name for p in solo.glob("sample_results_*.npz")) == [
         "sample_results_0.npz"
     ]
+
+
+def test_occupancy_sampler_empty_mask_stays_in_aabb():
+    """Degenerate all-empty occupancy volume: searchsorted lands one past
+    the end for every draw; the clamp must keep samples inside the aabb
+    (ADVICE r4)."""
+    from iffnerf_tpu.models.field import make_alpha_mask
+    from iffnerf_tpu.pose.sampling import generate_samples_from_occupancy_grid
+
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    mask = make_alpha_mask(jnp.zeros((8, 9, 10)), aabb)
+    pts = np.asarray(
+        generate_samples_from_occupancy_grid(jax.random.PRNGKey(0), mask, 64)
+    )
+    # the in-voxel jitter overshoots the aabb by up to one voxel at edge
+    # voxels — reference behavior (sampling.py:103-115 divides by
+    # grid_shape - 1 after adding rand()); the clamp's job is only to keep
+    # the voxel index itself in-grid
+    voxel = (aabb[1] - aabb[0]) / (np.array([10, 9, 8]) - 1.0)
+    assert np.all(pts >= aabb[0] - 1e-5)
+    assert np.all(pts <= aabb[1] + voxel + 1e-5)

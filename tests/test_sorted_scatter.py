@@ -3,6 +3,8 @@ pure reformulation: identical primals, grads equal to XLA's derived
 backward up to f32 summation order (the scatter-adds accumulate in a
 different order once the indices are sorted)."""
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,17 @@ from iffnerf_tpu.ops import packed_sample as ps
 @pytest.fixture
 def sorted_grad_on(monkeypatch):
     monkeypatch.setattr(ps, "SORTED_SCATTER_GRAD", True)
+
+
+@contextlib.contextmanager
+def sorted_grad_off():
+    """Temporarily restore the default XLA-derived backward (the oracle)."""
+    orig = ps.SORTED_SCATTER_GRAD
+    ps.SORTED_SCATTER_GRAD = False
+    try:
+        yield
+    finally:
+        ps.SORTED_SCATTER_GRAD = orig
 
 
 def _bilerp_loss(packed, coords, g, h, w, c):
@@ -41,21 +54,11 @@ def test_bilerp_sorted_grad_matches_autodiff(sorted_grad_on):
         packed, coords, g, h, w, c
     )
 
-    with jax.disable_jit():
-        pass  # grads below re-trace with the flag off
-    import importlib
-
-    # flip the flag off for the oracle without reimporting the module
-    orig = ps.SORTED_SCATTER_GRAD
-    ps.SORTED_SCATTER_GRAD = False
-    try:
+    with sorted_grad_off():
         val_ref = _bilerp_loss(packed, coords, g, h, w, c)
         gp_ref, gc_ref = jax.grad(_bilerp_loss, argnums=(0, 1))(
             packed, coords, g, h, w, c
         )
-    finally:
-        ps.SORTED_SCATTER_GRAD = orig
-    del importlib
 
     assert float(jnp.abs(val_new - val_ref)) == 0.0
     np.testing.assert_allclose(gc_new, gc_ref, rtol=2e-6, atol=2e-6)
@@ -74,14 +77,10 @@ def test_lerp_sorted_grad_matches_autodiff(sorted_grad_on):
     gp_new, gc_new = jax.grad(_lerp_loss, argnums=(0, 1))(
         packed, coords, g, l, c
     )
-    orig = ps.SORTED_SCATTER_GRAD
-    ps.SORTED_SCATTER_GRAD = False
-    try:
+    with sorted_grad_off():
         gp_ref, gc_ref = jax.grad(_lerp_loss, argnums=(0, 1))(
             packed, coords, g, l, c
         )
-    finally:
-        ps.SORTED_SCATTER_GRAD = orig
 
     np.testing.assert_allclose(gc_new, gc_ref, rtol=2e-6, atol=2e-6)
     # ~260 accumulands/row in a different order: scale tolerance with that
@@ -108,12 +107,8 @@ def test_sorted_grad_through_fused_features(sorted_grad_on):
         return jnp.sum(sigma**2) + jnp.sum(app**2)
 
     g_new = jax.grad(loss)(params)
-    orig = ps.SORTED_SCATTER_GRAD
-    ps.SORTED_SCATTER_GRAD = False
-    try:
+    with sorted_grad_off():
         g_ref = jax.grad(loss)(params)
-    finally:
-        ps.SORTED_SCATTER_GRAD = orig
 
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5),

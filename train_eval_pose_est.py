@@ -62,7 +62,11 @@ def add_pose_args(parser):
                         help="optimizer steps per on-device lax.scan "
                              "dispatch during ID-module training (10 = one "
                              "dispatch per ray-renewal period; 0 = one "
-                             "dispatch per step)")
+                             "dispatch per step). The scan keeps the whole "
+                             "image pool device-resident (~1 GB per 100 "
+                             "RGBA 800x800 f32 frames); pools over "
+                             "IFFNERF_ID_POOL_GB (default 4) auto-fall "
+                             "back to per-step dispatch")
     parser.add_argument("--save_debug", type=int, default=0,
                         help="dump per-image solver intermediates as "
                              "sample_results_<i>.npz next to --out_path "
