@@ -86,7 +86,10 @@ def main():
                          "round-2 fixture's solid ball (~33%% valid, the "
                          "0.73-0.77 s/it baseline regime)")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--stages", type=str, default="ABCDEFGH",
+                    help="subset of stage letters to run (e.g. AD)")
     args = ap.parse_args()
+    stages = set(args.stages.upper())
 
     import dataclasses
 
@@ -159,31 +162,32 @@ def main():
 
     # ---- A. the full production step ----
     state = make_optimizer(params, 0.02, 1e-3, 0.9999)
-    step_fn = make_train_step(
-        cfg, state.tx, has_mask=True, n_samples=n_samples, ndc_ray=False,
-        ortho_weight=0.0, use_l1=True, use_tv_density=False,
-        use_tv_app=False, rgb_channels=4,
-    )
-    idx = jnp.arange(args.batch, dtype=jnp.int32)
+    if "A" in stages:
+        step_fn = make_train_step(
+            cfg, state.tx, has_mask=True, n_samples=n_samples, ndc_ray=False,
+            ortho_weight=0.0, use_l1=True, use_tv_density=False,
+            use_tv_app=False, rgb_channels=4,
+        )
+        idx = jnp.arange(args.batch, dtype=jnp.int32)
 
-    # the step donates params/opt_state; time it as a host loop of real
-    # dispatches instead (the production trainer's own dispatch pattern)
-    p = jax.tree.map(jnp.array, params)
-    o = jax.tree.map(jnp.array, state.opt_state)  # the step donates both
-    p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key, jnp.ones(3),
-                        weights)
-    _pull(mse)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key,
-                                jnp.ones(3), weights)
+        # the step donates params/opt_state; time it as a host loop of real
+        # dispatches instead (the production trainer's own dispatch pattern)
+        p = jax.tree.map(jnp.array, params)
+        o = jax.tree.map(jnp.array, state.opt_state)  # the step donates both
+        p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key, jnp.ones(3),
+                            weights)
         _pull(mse)
-        ts.append(time.perf_counter() - t0)
-    a_ms = (float(np.median(ts)) - base) / reps * 1e3
-    print(f"{'A. full masked train step (fwd+bwd+adam)':58s} {a_ms:9.2f} ms"
-          f"  (reps={reps})", flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                p, o, mse = step_fn(p, o, mask, rays, rgbs, idx, key,
+                                    jnp.ones(3), weights)
+            _pull(mse)
+            ts.append(time.perf_counter() - t0)
+        a_ms = (float(np.median(ts)) - base) / reps * 1e3
+        print(f"{'A. full masked train step (fwd+bwd+adam)':58s} "
+              f"{a_ms:9.2f} ms  (reps={reps})", flush=True)
 
     # ---- B. forward only ----
     def fwd(i, params, mask, rays):
@@ -193,8 +197,9 @@ def main():
                               n_samples=n_samples)
         return jnp.sum(rgb)
 
-    bench("B. forward only (masked render_rays)", fwd, reps=reps,
-          base=base, consts=(params, mask, rays))
+    if "B" in stages:
+        bench("B. forward only (masked render_rays)", fwd, reps=reps,
+              base=base, consts=(params, mask, rays))
 
     # ---- C/D. feature evaluation on the k-sample buffer ----
     coords_f = normalize_coord(cfg, xyz).reshape(-1, 3)
@@ -213,8 +218,9 @@ def main():
             cfg, params, cc.at[0, 0].add(jnp.float32(i) * 1e-12))
         return jnp.sum(s) + jnp.sum(a)
 
-    bench(f"C. feature eval fwd (k={k})", feat_fwd, reps=reps, base=base,
-          consts=(params, cc))
+    if "C" in stages:
+        bench(f"C. feature eval fwd (k={k})", feat_fwd, reps=reps,
+              base=base, consts=(params, cc))
 
     def feat_bwd(i, params, cc):
         def f(p):
@@ -225,8 +231,9 @@ def main():
         v, g = jax.value_and_grad(f)(params)
         return v + sum(jnp.sum(l) for l in jax.tree.leaves(g))
 
-    bench(f"D. feature eval fwd+bwd (k={k})", feat_bwd, reps=reps,
-          base=base, consts=(params, cc))
+    if "D" in stages:
+        bench(f"D. feature eval fwd+bwd (k={k})", feat_bwd, reps=reps,
+              base=base, consts=(params, cc))
 
     # ---- E. gate + nonzero + gather ----
     def gate_idx(i, params, mask, rays):
@@ -243,8 +250,9 @@ def main():
         c = jnp.take(normalize_coord(cfg, xyz).reshape(-1, 3), si, axis=0)
         return jnp.sum(c)
 
-    bench("E. sample+gate+block-nonzero+coord gather", gate_idx, reps=reps,
-          base=base, consts=(params, mask, rays))
+    if "E" in stages:
+        bench("E. sample+gate+block-nonzero+coord gather", gate_idx,
+              reps=reps, base=base, consts=(params, mask, rays))
 
     # ---- F. raw2alpha fwd+bwd on dense [N, S] ----
     sig0 = jnp.abs(jax.random.normal(key, (args.batch, n_samples))) * 0.1
@@ -259,8 +267,9 @@ def main():
             sig0.at[0, 0].add(jnp.float32(i) * 1e-12))
         return v + jnp.sum(g)
 
-    bench(f"F. raw2alpha fwd+bwd (dense {args.batch}x{n_samples})", march,
-          reps=reps, base=base, consts=(sig0,))
+    if "F" in stages:
+        bench(f"F. raw2alpha fwd+bwd (dense {args.batch}x{n_samples})",
+              march, reps=reps, base=base, consts=(sig0,))
 
     # ---- G. shading fwd+bwd ----
     feats = jax.random.normal(key, (args.batch, cfg.app_dim))
@@ -277,8 +286,9 @@ def main():
         v, g = jax.value_and_grad(f)(params)
         return v + sum(jnp.sum(l) for l in jax.tree.leaves(g["shading"]))
 
-    bench(f"G. shading fwd+bwd ({args.batch}x{cfg.app_dim})", shade,
-          reps=reps, base=base, consts=(params, feats))
+    if "G" in stages:
+        bench(f"G. shading fwd+bwd ({args.batch}x{cfg.app_dim})", shade,
+              reps=reps, base=base, consts=(params, feats))
 
     # ---- H. adam alone ----
     g0 = jax.tree.map(jnp.ones_like, params)
@@ -291,8 +301,9 @@ def main():
         newp = optax.apply_updates(params, upd)
         return sum(jnp.sum(l) for l in jax.tree.leaves(newp))
 
-    bench("H. adam update alone", adam, reps=reps, base=base,
-          consts=(params, g0, state.opt_state))
+    if "H" in stages:
+        bench("H. adam update alone", adam, reps=reps, base=base,
+              consts=(params, g0, state.opt_state))
 
 
 if __name__ == "__main__":

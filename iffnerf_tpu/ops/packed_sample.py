@@ -32,9 +32,29 @@ import jax.numpy as jnp
 
 # Opt-in reformulation of the gather backward: sort the scatter indices and
 # emit a hinted (indices_are_sorted) scatter-add instead of XLA's derived
-# unsorted one. OFF by default — flip only where
-# extra/microbench_scatter_vjp.py measures a win (BASELINE.md).
+# unsorted one. OFF by default — measured round 4 (BASELINE.md,
+# extra/microbench_scatter_vjp.py): the argsort costs more than the
+# unsorted scatter saves at every index distribution tried (16.2 vs
+# 0.04-12.3 ms plane, 14.5 vs 6.2-7.3 ms line).
 SORTED_SCATTER_GRAD = os.environ.get("IFFNERF_SORTED_SCATTER", "0") == "1"
+
+# Line-table backward as a weighted one-hot matmul (the classic TPU
+# scatter-as-matmul): the line tables are tiny (L = grid size, ~300 rows)
+# but every row is hit ~k/L times, and XLA's derived scatter-add of k
+# update rows runs at ~1/10 the gather rate. Contracting a [k, L] one-hot
+# against the [k, 2C] updates moves the accumulation onto the MXU —
+# measured 6.2 -> 3.6 ms at k=530k/L=300 (extra/microbench_scatter_vjp.py,
+# round 4). Default ON on TPU backends for small L; IFFNERF_LINE_MM_GRAD
+# overrides both ways. Gradients match autodiff up to f32 summation order
+# (tests/test_line_mm_grad.py).
+_LINE_MM_MAX_ROWS = 2048
+
+
+def _use_line_mm_grad(l: int) -> bool:
+    env = os.environ.get("IFFNERF_LINE_MM_GRAD")
+    if env is not None:
+        return env != "0"
+    return l <= _LINE_MM_MAX_ROWS and jax.default_backend() == "tpu"
 
 
 def _shift(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -247,6 +267,44 @@ def _gather_contract_bwd(c: int, res, g):
 _gather_contract.defvjp(_gather_contract_fwd, _gather_contract_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _lerp_contract_mm(packed, idx, weights, l: int, c: int):
+    """packed[idx] [..., 2, c] contracted with weights [..., 2] -> [..., c].
+    Same primal as the inline take+einsum in packed_lerp; the custom
+    backward replaces XLA's derived scatter-add of the k updates into the
+    [l, 2c] table with a weighted one-hot [k, l] matmul on the MXU
+    (module docstring: measured 1.7x at lego line shapes)."""
+    rows = jnp.take(packed, idx, axis=0)
+    corners = rows.reshape(rows.shape[:-1] + (2, c))
+    return jnp.einsum("...kc,...k->...c", corners, weights)
+
+
+def _lerp_contract_mm_fwd(packed, idx, weights, l: int, c: int):
+    rows = jnp.take(packed, idx, axis=0)
+    corners = rows.reshape(rows.shape[:-1] + (2, c))
+    out = jnp.einsum("...kc,...k->...c", corners, weights)
+    # save corners (what autodiff would keep for the weight grad): at k
+    # rows the re-gather costs ~4x the residual's HBM round trip
+    return out, (corners, idx, weights)
+
+
+def _lerp_contract_mm_bwd(l: int, c: int, res, g):
+    corners, idx, weights = res
+    g_weights = jnp.einsum("...c,...kc->...k", g, corners)
+    gf = g.reshape(-1, c)
+    wf = weights.reshape(-1, 2)
+    # g_packed[m, j*c + c'] = sum_k 1[idx_k == m] * w[k, j] * g[k, c']
+    v = (wf[..., None] * gf[:, None, :]).reshape(-1, 2 * c)
+    onehot = (idx.reshape(-1)[:, None]
+              == jnp.arange(l, dtype=idx.dtype)[None, :]).astype(gf.dtype)
+    g_packed = jnp.einsum("km,kc->mc", onehot, v)
+    g_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return g_packed, g_idx, g_weights
+
+
+_lerp_contract_mm.defvjp(_lerp_contract_mm_fwd, _lerp_contract_mm_bwd)
+
+
 def _pix(g, size: int):
     return (g + 1.0) * 0.5 * (size - 1)
 
@@ -300,6 +358,8 @@ def packed_lerp(packed: jnp.ndarray, l: int, c: int,
     weights = jnp.stack([w0, w1], axis=-1)
     if SORTED_SCATTER_GRAD:
         return _gather_contract(packed, z0, weights, c)
+    if _use_line_mm_grad(l):
+        return _lerp_contract_mm(packed, z0, weights, l, c)
     rows = jnp.take(packed, z0, axis=0)
     corners = rows.reshape(rows.shape[:-1] + (2, c))
     return jnp.einsum("...kc,...k->...c", corners, weights)
