@@ -63,7 +63,13 @@ class SimpleSampler:
 
 # candidate static compaction-buffer sizes (fractions of a batch's samples)
 # for the occupancy probe below; the train step compiles with ONE of these
-_COMPACT_LADDER = (0.046875, 0.0625, 0.09375, 0.125, 0.1875, 0.25, 0.375,
+# 1/64 rungs at the low-occupancy end (trained scenes sit at ~5-12%
+# valid, and C/D feature-eval cost is k-proportional — a coarser rung
+# wastes its whole gap; at lego's 0.083 occupancy the 7/64 rung buys
+# 12.5% of k vs the old 0.125 pick), 1/16 rungs above. Each phase still
+# compiles exactly one program; ladder density costs nothing.
+_COMPACT_LADDER = (0.046875, 0.0625, 0.078125, 0.09375, 0.109375, 0.125,
+                   0.15625, 0.1875, 0.21875, 0.25, 0.3125, 0.375, 0.4375,
                    0.5)
 # above this valid fraction the compaction bookkeeping exceeds its savings
 # (measured on v5e at ~60% validity, BASELINE.md) -> march densely instead
