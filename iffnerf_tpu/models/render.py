@@ -10,6 +10,8 @@ surrounding elementwise work.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -196,6 +198,19 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
 
     def make_compact(k):
         def compact(_):
+            # MEASURED NEGATIVE RESULT (kept opt-in for reproduction):
+            # gathering/scattering at whole-_BLOCK row granularity — 8x
+            # fewer rows for the same bytes, bit-identical values — LOSES
+            # on v5e: 228.9 vs 194.3 ms full masked step, 94.0 vs 88.0 ms
+            # forward (same-session A/B, 300^3/0.109375 rung, 2026-08-19).
+            # XLA already coalesces the small per-sample rows; the wider
+            # [nb, 8*3] rows add layout copies and a costlier scatter
+            # transpose. IFFNERF_BLOCK_ROWS=1 re-enables for A/B (read at
+            # trace time).
+            block_rows = (
+                use_blocks
+                and os.environ.get("IFFNERF_BLOCK_ROWS", "0") == "1"
+            )
             if use_blocks:
                 nb = k // _BLOCK
                 (bidx,) = jnp.nonzero(blk_any, size=nb, fill_value=n_blocks)
@@ -209,17 +224,39 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
                     base[:, None] * _BLOCK
                     + jnp.arange(_BLOCK, dtype=bidx.dtype)[None, :]
                 ).reshape(-1)
-                safe_idx = jnp.minimum(idx, n - 1)
-                in_buf = (idx < n) & jnp.take(valid_f, safe_idx)
+                base_safe = jnp.minimum(base, n_blocks - 1)
+                if block_rows:
+                    in_buf = (
+                        (~fill)[:, None]
+                        & jnp.take(valid_f.reshape(n_blocks, _BLOCK),
+                                   base_safe, axis=0)
+                    ).reshape(-1)
+                    cc = jnp.take(
+                        coords_f.reshape(n_blocks, _BLOCK * 3), base_safe,
+                        axis=0,
+                    ).reshape(-1, 3)
+                else:
+                    safe_idx = jnp.minimum(idx, n - 1)
+                    in_buf = (idx < n) & jnp.take(valid_f, safe_idx)
+                    cc = jnp.take(coords_f, safe_idx, axis=0)
             else:
                 (idx,) = jnp.nonzero(valid_f, size=k, fill_value=n)
                 in_buf = idx < n
                 safe_idx = jnp.minimum(idx, n - 1)
-            cc = jnp.take(coords_f, safe_idx, axis=0)
+                cc = jnp.take(coords_f, safe_idx, axis=0)
             sig_k, app_k = compute_features_fused(config, params, cc)
 
-            # dense sigma via scalar scatter (out-of-range rows dropped)
-            if use_blocks:
+            # dense sigma via scatter (out-of-range rows dropped)
+            if block_rows:
+                sig_dense = (
+                    jnp.zeros((n_blocks, _BLOCK), sig_k.dtype)
+                    .at[base]
+                    .set(jnp.where(in_buf, sig_k, 0.0).reshape(nb, _BLOCK),
+                         mode="drop", unique_indices=True,
+                         indices_are_sorted=True)
+                    .reshape(n)
+                )
+            elif use_blocks:
                 sig_dense = jnp.zeros((n,), sig_k.dtype).at[idx].set(
                     jnp.where(in_buf, sig_k, 0.0), mode="drop",
                     unique_indices=True, indices_are_sorted=True,
@@ -236,7 +273,12 @@ def _compact_march(config: FieldConfig, params, coords, ray_valid, dists,
             alpha, weight, _ = raw2alpha(sigma, dists * config.distance_scale)
 
             # back to compacted space: per-slot weight + threshold mask
-            w_k = jnp.take(weight.reshape(-1), safe_idx) * in_buf
+            if block_rows:
+                w_k = jnp.take(
+                    weight.reshape(n_blocks, _BLOCK), base_safe, axis=0
+                ).reshape(-1) * in_buf
+            else:
+                w_k = jnp.take(weight.reshape(-1), safe_idx) * in_buf
             m_k = (w_k > thres).astype(app_k.dtype)
             contrib = app_k * (w_k * m_k)[:, None]          # [k, A]
 
