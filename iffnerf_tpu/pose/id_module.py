@@ -53,15 +53,17 @@ class IDConfig:
     # intermediates (ops/fused_ray_attention.py). Falls back to the XLA
     # path when the ray count has no suitable row-tile divisor.
     fused_scoring: bool = False
-    # two-pass Pallas kernel for the BANKED per-image scoring (inference):
-    # flash-style stats + recompute over the ray bank, never materializing
-    # the [P, R] logits in HBM (ops/banked_attention.py). Scores match the
-    # XLA banked path to f32 reduction-order tolerance (not bit-exactly;
-    # tests/test_banked_pose.py::test_fused_bank_kernel_parity). Measured
-    # 2.78 -> 1.88 ms on the 540k-ray scoring stage (v5e,
-    # extra/decompose_pose.py g vs g2) — DEFAULT ON; it engages only on a
-    # TPU backend with a suitable tile divisor of R, and the env kill
-    # switch IFFNERF_FUSED_BANK=0 restores the bit-identical XLA path.
+    # fast BANKED per-image scoring (inference). On a TPU backend the
+    # default mode is "bf16": the [P, R] logits matmul emits the compute
+    # dtype (halving the materialized buffer the softmax passes re-read)
+    # and upcasts in the consumer — measured 2.288 vs the Pallas kernel's
+    # 2.504 and the exact path's 3.737 ms/image in the production banked
+    # estimate (v5e, BASELINE round-5), with scores within 7.2e-5 of
+    # exact, identical top-100, pose delta ~1e-8. "fused" (two-pass
+    # flash-style Pallas kernel, ops/banked_attention.py, f32 logits in
+    # VMEM, reduction-order tolerance) and "exact" (bit-identical f32
+    # XLA) stay selectable via IFFNERF_BANK_SCORING; the legacy
+    # IFFNERF_FUSED_BANK=0/1 maps to exact/fused. False = always exact.
     fused_bank: bool = True
 
     @property
@@ -244,17 +246,28 @@ def ray_bank(params, config: IDConfig, rays_ori, rays_dir, rays_rgb):
                         feats_rays.astype(dt))          # [R, D]
 
 
-def _use_fused_bank(config: IDConfig) -> bool:
-    """Trace-time dispatch for the fused banked-scoring kernel: only where
-    Mosaic exists (TPU backend); IFFNERF_FUSED_BANK overrides both ways
-    (=0 restores the bit-identical XLA path, =1 forces the kernel — tests
-    use it with interpret mode on CPU)."""
+def _bank_scoring_mode(config: IDConfig) -> str:
+    """Trace-time dispatch for the banked scoring path. Returns one of
+    "bf16" (logits matmul emits the compute dtype, upcast in the
+    consumer — the TPU default for bf16 compute, BASELINE round-5),
+    "fused" (two-pass Pallas kernel, ops/banked_attention.py), or
+    "exact" (bit-identical f32-logits XLA — always the answer off-TPU
+    and when ``config.fused_bank`` is False). IFFNERF_BANK_SCORING picks
+    a mode explicitly; the legacy IFFNERF_FUSED_BANK=0/1 kill switch
+    maps to exact/fused (tests force the kernel with it in interpret
+    mode on CPU)."""
     if not config.fused_bank:
-        return False
-    env = os.environ.get("IFFNERF_FUSED_BANK")
-    if env is not None:
-        return env != "0"
-    return jax.default_backend() == "tpu"
+        return "exact"
+    env = os.environ.get("IFFNERF_BANK_SCORING")
+    if env in ("bf16", "fused", "exact"):
+        return env
+    legacy = os.environ.get("IFFNERF_FUSED_BANK")
+    if legacy is not None:
+        return "fused" if legacy != "0" else "exact"
+    if jax.default_backend() != "tpu":
+        return "exact"
+    return ("bf16" if jnp.dtype(config.compute_dtype) == jnp.bfloat16
+            else "fused")
 
 
 def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
@@ -271,7 +284,9 @@ def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
     Returns (scores [R], attention [P, R])."""
     k = (bank if bank is not None
          else ray_bank(params, config, rays_ori, rays_dir, rays_rgb))
-    if bank is not None and axis_name is None and _use_fused_bank(config):
+    mode = (_bank_scoring_mode(config)
+            if bank is not None and axis_name is None else "exact")
+    if mode == "fused":
         from iffnerf_tpu.ops.banked_attention import (
             bank_tile_for,
             banked_scores_fused,
@@ -281,9 +296,13 @@ def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
         if tile is not None:
             scores = banked_scores_fused(k, q, patch_valid, tile=tile)
             return scores, None
-    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(
-        q.shape[-1]
-    )                                                   # [P, R] f32
+    # "bf16": the dot emits the (bf16) input dtype — the MXU still
+    # accumulates f32, only the materialized [P, R] buffer the softmax
+    # passes re-read halves; the upcast fuses into the consumer.
+    pet = None if mode == "bf16" else jnp.float32
+    logits = jnp.dot(q, k.T, preferred_element_type=pet).astype(
+        jnp.float32
+    ) / math.sqrt(q.shape[-1])                          # [P, R] f32
     m = jnp.max(logits, axis=-1)
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)

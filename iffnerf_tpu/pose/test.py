@@ -129,11 +129,12 @@ def test_pose_estimation(dataset, id_params, id_config: IDConfig, rays_ori,
     # Image-independent ray keys, computed ONCE per candidate set: the rays
     # are fixed across this object's frames (reference test.py:84 receives
     # the same set per frame yet recomputes the chain per image — measured
-    # ~77% of per-image latency, extra/decompose_pose.py). With the banked
-    # XLA path scores are bit-identical to the unbanked path; on TPU the
-    # fused two-pass kernel (IDConfig.fused_bank, default ON) scores to f32
-    # reduction-order tolerance instead — IFFNERF_FUSED_BANK=0 restores
-    # bit-identity. The negated-direction sign below applies here too.
+    # ~77% of per-image latency, extra/decompose_pose.py). With the exact
+    # banked XLA path scores are bit-identical to the unbanked path; on
+    # TPU the default "bf16" mode (bf16-emitted logits matmul,
+    # id_module._bank_scoring_mode) scores within ~7e-5 instead —
+    # IFFNERF_BANK_SCORING=exact restores bit-identity. The
+    # negated-direction sign below applies here too.
     from iffnerf_tpu.pose.id_module import ray_bank
 
     bank = ray_bank(id_params, id_config, rays_ori, -rays_dirs, rays_rgb)

@@ -182,6 +182,54 @@ def test_fused_bank_config_switch(setup, monkeypatch):
     assert att2 is not None
 
 
+def test_bank_scoring_bf16_mode(setup, monkeypatch):
+    """IFFNERF_BANK_SCORING=bf16 (the TPU default for bf16 compute) emits
+    the logits matmul in the compute dtype. Scores match the exact path
+    within the documented tolerance (bit-exact on CPU, where XLA folds
+    the upcast back into an f32 dot; 7.2e-5 measured on v5e) and select
+    the same top rays."""
+    from iffnerf_tpu.ops.topk import exact_topk
+
+    cfg, params, img, mask, ro, rd, rr = setup
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    bank = ray_bank(params, cfg, ro, rd, rr)
+    q, pv, _ = image_queries(params, cfg, img, mask)
+    monkeypatch.delenv("IFFNERF_FUSED_BANK", raising=False)
+    monkeypatch.delenv("IFFNERF_BANK_SCORING", raising=False)
+    scores_ref, _ = score_rays(params, cfg, q, pv, None, None, None,
+                               bank=bank)  # exact (CPU backend)
+
+    monkeypatch.setenv("IFFNERF_BANK_SCORING", "bf16")
+    scores_bf, att = score_rays(params, cfg, q, pv, None, None, None,
+                                bank=bank)
+    assert att is not None  # plain XLA graph, attention still available
+    np.testing.assert_allclose(np.asarray(scores_bf), np.asarray(scores_ref),
+                               rtol=2e-3, atol=2e-4)
+    _, i_r = exact_topk(scores_ref, 32)
+    _, i_b = exact_topk(scores_bf, 32)
+    assert set(np.asarray(i_r).tolist()) == set(np.asarray(i_b).tolist())
+
+
+def test_bank_scoring_mode_precedence(setup, monkeypatch):
+    """IFFNERF_BANK_SCORING wins over the legacy IFFNERF_FUSED_BANK;
+    config.fused_bank=False wins over both; unbanked / sharded calls are
+    always exact."""
+    from iffnerf_tpu.pose.id_module import _bank_scoring_mode
+
+    cfg, *_ = setup
+    monkeypatch.setenv("IFFNERF_FUSED_BANK", "1")
+    monkeypatch.setenv("IFFNERF_BANK_SCORING", "exact")
+    assert _bank_scoring_mode(cfg) == "exact"
+    monkeypatch.delenv("IFFNERF_BANK_SCORING")
+    assert _bank_scoring_mode(cfg) == "fused"
+    monkeypatch.setenv("IFFNERF_FUSED_BANK", "0")
+    assert _bank_scoring_mode(cfg) == "exact"
+    monkeypatch.setenv("IFFNERF_BANK_SCORING", "bf16")
+    assert _bank_scoring_mode(cfg) == "bf16"
+    cfg_off = dataclasses.replace(cfg, fused_bank=False)
+    assert _bank_scoring_mode(cfg_off) == "exact"
+
+
 def test_bank_tile_for():
     from iffnerf_tpu.ops.banked_attention import bank_tile_for
 
