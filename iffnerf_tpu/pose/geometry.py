@@ -34,6 +34,37 @@ def _cross_product_system(points, directions, weights=None):
     return a_mat * keep[:, None], b * keep
 
 
+def det3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 determinant (scalar triple product of the rows).
+
+    ``jnp.linalg.solve``/``inv`` on a 3x3 lower to general LU custom
+    calls; the cross-product closed forms are fusable elementwise ops
+    instead — equal to LU in exact arithmetic, ~1e-7 relative fp
+    difference for the well-conditioned systems the singularity guards
+    admit. Honest perf note: swapping them into the pose solve measured
+    NEUTRAL on v5e (stage i 0.67 -> 0.70 ms, relay noise band) — the
+    solve is bound by its ~54 back-to-back tiny-kernel launches
+    (~0.24 ms total, /tmp probe round 5), not by any single op. Kept for
+    the simpler lowering (12 fewer custom calls in the estimate)."""
+    return jnp.sum(m[0] * jnp.cross(m[1], m[2]))
+
+
+def inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse: M^-T rows are the cross products of M's
+    rows over det (see det3 for why not jnp.linalg.inv)."""
+    c0 = jnp.cross(m[1], m[2])
+    c1 = jnp.cross(m[2], m[0])
+    c2 = jnp.cross(m[0], m[1])
+    det = jnp.sum(m[0] * c0)
+    return jnp.stack([c0, c1, c2], axis=-1) / det
+
+
+def solve3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 linear solve (see det3 for why not
+    jnp.linalg.solve). ``b`` is [3] or [3, k]."""
+    return inv3(m) @ b
+
+
 def compute_line_intersection(points: jnp.ndarray,
                               directions: jnp.ndarray,
                               weights: jnp.ndarray | None = None):
@@ -59,8 +90,8 @@ def compute_line_intersection_impl2(points: jnp.ndarray,
     r_mat = jnp.sum(projs * w, axis=0)
     q = jnp.sum((projs @ points[:, :, None]) * w, axis=0)
 
-    solution = jnp.linalg.solve(r_mat, q)[:, 0]
-    singular = jnp.linalg.det(r_mat) < 1e-7
+    solution = solve3(r_mat, q)[:, 0]
+    singular = det3(r_mat) < 1e-7
     return jnp.where(singular, jnp.nan, solution)
 
 

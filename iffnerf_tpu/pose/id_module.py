@@ -306,6 +306,19 @@ def score_rays(params, config: IDConfig, q, patch_valid, rays_ori, rays_dir,
     m = jnp.max(logits, axis=-1)
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
+    if mode == "bf16":
+        # fold validity and the denominator into one per-patch log-shift:
+        # scores = sum_p exp(l - m - log d - (0|inf)) — the final pass is
+        # a single exp+sum and the [P, R] attention array is never
+        # materialized (measured 0.73 ms faster than the divide-then-sum
+        # graph at the production shape, BASELINE round-5). Within f32
+        # log/exp-roundtrip tolerance of the exact scores; attention is
+        # not produced (same contract as the fused kernel).
+        denom = jnp.sum(jnp.exp(logits - m[:, None]), axis=-1)
+        shift = (m + jnp.log(denom)
+                 + jnp.where(patch_valid, 0.0, jnp.inf))
+        scores = jnp.sum(jnp.exp(logits - shift[:, None]), axis=0)
+        return scores, None
     e = jnp.exp(logits - m[:, None])
     denom = jnp.sum(e, axis=-1)
     if axis_name is not None:

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from iffnerf_tpu.ops.topk import exact_topk
 from iffnerf_tpu.pose.geometry import (
     compute_line_intersection_impl2,
+    det3,
     exclude_negatives,
+    inv3,
     make_rotation_mat,
 )
 from iffnerf_tpu.pose.id_module import (
@@ -89,11 +91,13 @@ def solve_pose_from_topk(ori_k: jnp.ndarray, dirs_k: jnp.ndarray,
 
     model_up = model_up / jnp.linalg.norm(model_up)
     w2c_rot = make_rotation_mat(-watch_dir, model_up)
-    singular = jnp.abs(jnp.linalg.det(w2c_rot)) < 1e-7
+    singular = jnp.abs(det3(w2c_rot)) < 1e-7
     w2c_rot = jnp.where(singular, jnp.eye(3, dtype=w2c_rot.dtype), w2c_rot)
 
     c2w = jnp.eye(4, dtype=ori_k.dtype)
-    c2w = c2w.at[:3, :3].set(jnp.linalg.inv(w2c_rot))
+    # closed-form 3x3 inverse (geometry.det3): jnp.linalg.inv's LU custom
+    # call breaks the solve into unfusable tiny kernels on TPU
+    c2w = c2w.at[:3, :3].set(inv3(w2c_rot))
     c2w = c2w.at[:3, 3].set(center)
 
     bad = jnp.any(jnp.isnan(c2w))

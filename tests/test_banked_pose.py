@@ -184,10 +184,11 @@ def test_fused_bank_config_switch(setup, monkeypatch):
 
 def test_bank_scoring_bf16_mode(setup, monkeypatch):
     """IFFNERF_BANK_SCORING=bf16 (the TPU default for bf16 compute) emits
-    the logits matmul in the compute dtype. Scores match the exact path
-    within the documented tolerance (bit-exact on CPU, where XLA folds
-    the upcast back into an f32 dot; 7.2e-5 measured on v5e) and select
-    the same top rays."""
+    the logits matmul in the compute dtype and folds validity + the
+    softmax denominator into a per-patch log-shift (no attention array).
+    Scores match the exact path within the documented tolerance (7.2e-5
+    measured on v5e for the bf16 dot; the log/exp roundtrip adds ~1e-6)
+    and select the same top rays."""
     from iffnerf_tpu.ops.topk import exact_topk
 
     cfg, params, img, mask, ro, rd, rr = setup
@@ -202,7 +203,7 @@ def test_bank_scoring_bf16_mode(setup, monkeypatch):
     monkeypatch.setenv("IFFNERF_BANK_SCORING", "bf16")
     scores_bf, att = score_rays(params, cfg, q, pv, None, None, None,
                                 bank=bank)
-    assert att is not None  # plain XLA graph, attention still available
+    assert att is None  # log-shift formulation never materializes it
     np.testing.assert_allclose(np.asarray(scores_bf), np.asarray(scores_ref),
                                rtol=2e-3, atol=2e-4)
     _, i_r = exact_topk(scores_ref, 32)
