@@ -250,8 +250,71 @@ def main():
         c = jnp.take(normalize_coord(cfg, xyz).reshape(-1, 3), si, axis=0)
         return jnp.sum(c)
 
+    # E sub-stages: attribute the k-independent index-extraction cost
+    # (largest stage once buffers are matched, BASELINE round-4 reading #3)
+    def e1_sample(i, rays):
+        xyz, z, rv = sample_ray(
+            cfg, rays[:, :3].at[0, 0].add(jnp.float32(i) * 1e-12),
+            rays[:, 3:6], key=key, is_train=True, n_samples=n_samples)
+        return jnp.sum(xyz) + jnp.sum(rv)
+
+    def e2_gate(i, params, mask, rays):
+        xyz, z, rv = sample_ray(
+            cfg, rays[:, :3].at[0, 0].add(jnp.float32(i) * 1e-12),
+            rays[:, 3:6], key=key, is_train=True, n_samples=n_samples)
+        g = rv & sample_alpha_gate(mask, xyz, cfg.mask_gate_group)
+        return jnp.sum(g)
+
+    def e3_nonzero(i, params, mask, rays):
+        xyz, z, rv = sample_ray(
+            cfg, rays[:, :3].at[0, 0].add(jnp.float32(i) * 1e-12),
+            rays[:, 3:6], key=key, is_train=True, n_samples=n_samples)
+        g = rv & sample_alpha_gate(mask, xyz, cfg.mask_gate_group)
+        vf = g.reshape(-1)
+        (bi,) = jnp.nonzero(jnp.any(vf.reshape(-1, _BLOCK), -1),
+                            size=k // _BLOCK,
+                            fill_value=n_tot // _BLOCK - 1)
+        return jnp.sum(bi)
+
+    def _flags(i, params, mask, rays):
+        xyz, z, rv = sample_ray(
+            cfg, rays[:, :3].at[0, 0].add(jnp.float32(i) * 1e-12),
+            rays[:, 3:6], key=key, is_train=True, n_samples=n_samples)
+        g = rv & sample_alpha_gate(mask, xyz, cfg.mask_gate_group)
+        return jnp.any(g.reshape(-1, _BLOCK), -1)
+
+    nb = n_tot // _BLOCK
+    fill = nb - 1
+
+    def e3_scatter(i, params, mask, rays):
+        f = _flags(i, params, mask, rays)
+        pos = jnp.cumsum(f.astype(jnp.int32)) - 1
+        dest = jnp.where(f, pos, k // _BLOCK)
+        bi = jnp.full((k // _BLOCK,), fill, jnp.int32).at[dest].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        return jnp.sum(bi)
+
+    def e3_search(i, params, mask, rays):
+        f = _flags(i, params, mask, rays)
+        c = jnp.cumsum(f.astype(jnp.int32))
+        q = jnp.arange(1, k // _BLOCK + 1, dtype=jnp.int32)
+        bi = jnp.searchsorted(c, q)
+        bi = jnp.where(q <= c[-1], bi, fill).astype(jnp.int32)
+        return jnp.sum(bi)
+
     if "E" in stages:
         bench("E. sample+gate+block-nonzero+coord gather", gate_idx,
+              reps=reps, base=base, consts=(params, mask, rays))
+        bench("E1. sample_ray alone", e1_sample,
+              reps=reps, base=base, consts=(rays,))
+        bench("E2. sample_ray + gate", e2_gate,
+              reps=reps, base=base, consts=(params, mask, rays))
+        bench("E3. sample_ray + gate + block-nonzero", e3_nonzero,
+              reps=reps, base=base, consts=(params, mask, rays))
+        bench("E3b. nonzero as cumsum + drop-scatter", e3_scatter,
+              reps=reps, base=base, consts=(params, mask, rays))
+        bench("E3c. nonzero as cumsum + searchsorted", e3_search,
               reps=reps, base=base, consts=(params, mask, rays))
 
     # ---- F. raw2alpha fwd+bwd on dense [N, S] ----
